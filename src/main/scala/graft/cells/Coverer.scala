@@ -1,0 +1,124 @@
+package graft.cells
+
+import scala.collection.mutable
+
+/** Region coverer over the Cell quadtree with the reference's parameters
+  * and its *vertex-approximate* predicates:
+  *
+  *  - parameters MinLevel=4, MaxLevel=22, MaxCells=8
+  *    (/root/reference/osmtopo/lookup/lookup.go:176-181);
+  *  - containsCell  = all 4 cell vertices inside the loop,
+  *    intersectsCell = any cell vertex inside the loop OR any loop vertex
+  *    inside the cell (documented-approximate, lookup/region.go:13-43);
+  *  - degenerate loops are skipped: rings with < 4 unique points, or < 3
+  *    points after consecutive-duplicate removal and dropping the closing
+  *    point (lookup.go:183-189, lookup/loop.go:5-25).
+  *
+  * Only the polygon's *outer* ring is covered, like the reference
+  * (lookup.go:187). The covering algorithm itself is the standard
+  * priority-refinement coverer (published S2 RegionCoverer design),
+  * deterministic: expand the candidate with the coarsest level (ties by
+  * smallest id) while the budget allows.
+  */
+object Coverer {
+  val MinLevel = 4
+  val MaxLevel = 22
+  val MaxCells = 8
+
+  /** Point-in-ring via even-odd ray casting. `ring` must be closed
+    * (first == last). Boundary points count per ray-casting convention
+    * (half-open edges) — deterministic, which is all we need.
+    */
+  def containsPoint(ring: IndexedSeq[(Double, Double)], lon: Double, lat: Double): Boolean = {
+    var inside = false
+    var i = 0
+    val n = ring.length - 1 // skip duplicate closing point
+    var j = n - 1
+    while (i < n) {
+      val (xi, yi) = ring(i)
+      val (xj, yj) = ring(j)
+      if (((yi > lat) != (yj > lat)) &&
+          (lon < (xj - xi) * (lat - yi) / (yj - yi) + xi)) inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  private final class Loop(val pts: IndexedSeq[(Double, Double)]) {
+    def containsCell(cell: Long): Boolean =
+      Cell.vertices(cell).forall { case (lon, lat) => containsPoint(pts, lon, lat) }
+
+    def intersectsCell(cell: Long): Boolean = {
+      val vs = Cell.vertices(cell)
+      if (vs.exists { case (lon, lat) => containsPoint(pts, lon, lat) }) return true
+      // loop fully inside the cell (region.go:34-41)
+      val (lonMin, latMin, lonMax, latMax) = Cell.bounds(cell)
+      pts.exists { case (x, y) => x >= lonMin && x <= lonMax && y >= latMin && y <= latMax }
+    }
+  }
+
+  /** Build the normalized loop like lookup/loop.go:5-25: reverse clockwise
+    * rings, drop the closing point, drop consecutive duplicates; None if
+    * degenerate.
+    */
+  private[cells] def makeLoop(ring0: IndexedSeq[(Double, Double)]): Option[IndexedSeq[(Double, Double)]] = {
+    if (graft.geom.Algorithms.uniqueLength(ring0) < 4) return None
+    val ring = if (graft.geom.Algorithms.isClockwise(ring0)) ring0.reverse else ring0
+    val pts = mutable.ArrayBuffer[(Double, Double)]()
+    var i = 0
+    while (i < ring.length - 1) { // skip last point
+      if (!(i > 0 && ring(i - 1) == ring(i))) pts += ring(i)
+      i += 1
+    }
+    if (pts.length < 3) None else Some((pts += pts.head).toIndexedSeq) // re-close for ray cast
+  }
+
+  /** Cover the outer ring of a polygon. Returns cell ids (≤ MaxCells unless
+    * MinLevel forces more), sorted ascending; empty for degenerate rings.
+    */
+  def cover(outerRing: IndexedSeq[(Double, Double)],
+            minLevel: Int = MinLevel, maxLevel: Int = MaxLevel, maxCells: Int = MaxCells): Array[Long] = {
+    makeLoop(outerRing) match {
+      case None => Array.empty
+      case Some(pts) =>
+        val loop = new Loop(pts)
+        val terminal = mutable.ArrayBuffer[Long]()
+        // expand coarsest first; ties by id for determinism
+        implicit val ord: Ordering[(Int, Long)] = Ordering.Tuple2(Ordering.Int.reverse, Ordering.Long.reverse)
+        val active = mutable.PriorityQueue[(Int, Long)]()
+        val world = Cell.fromHilbert(0L, 0)
+        if (loop.intersectsCell(world)) active.enqueue((0, world))
+        while (active.nonEmpty) {
+          val (lvl, cell) = active.dequeue()
+          val isTerminal = lvl >= minLevel && (lvl >= maxLevel || loop.containsCell(cell))
+          if (isTerminal) terminal += cell
+          else {
+            val kids = Cell.children(cell).filter(loop.intersectsCell)
+            val wouldBe = terminal.length + active.length + kids.length
+            if (lvl < minLevel || wouldBe <= maxCells) kids.foreach(k => active.enqueue((lvl + 1, k)))
+            else terminal += cell // budget exhausted: keep as-is
+          }
+        }
+        terminal.toArray.sorted
+    }
+  }
+
+  /** Cover every polygon of a (multi)polygon WKB geometry — one cover per
+    * polygon like GeometryToCoverage (lookup.go:201-222), flattened.
+    */
+  def coverGeometry(geom: org.locationtech.jts.geom.Geometry): Array[Long] = {
+    val out = mutable.ArrayBuffer[Long]()
+    var i = 0
+    while (i < geom.getNumGeometries) {
+      geom.getGeometryN(i) match {
+        case p: org.locationtech.jts.geom.Polygon =>
+          val ring = p.getExteriorRing.getCoordinates.map(c => (c.x, c.y)).toIndexedSeq
+          out ++= cover(ring)
+        case _ => // points/lines carry no cover
+      }
+      i += 1
+    }
+    out.distinct.toArray
+  }
+}

@@ -1,24 +1,71 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-round benchmark: times every SparkEntry query at
+  * SPARK_GRAFT_SF_DIR, plus the headline spatial-join + tiling pipeline on
+  * a replicated page table (SPARK_GRAFT_REPLICATE × documents) reporting
+  * pages/sec. Prints ONE JSON line.
+  */
 object Bench {
+
+  def session(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** The headline pipeline: pages → PIP broadcast join (all layers) →
+    * quadkey tile aggregation. Returns (pages processed, seconds).
+    */
+  def headline(spark: SparkSession, sfDir: String, replicate: Int): (Long, Double) = {
+    val polys = operators.Ingest.polygons(spark, sources.Fixtures.nodesDf(spark),
+      sources.Fixtures.waysDf(spark), sources.Fixtures.relationsDf(spark),
+      sources.Fixtures.blacklist).cache()
+    val covers = operators.Ingest.cellCovers(polys).cache()
+    polys.count(); covers.count() // materialize dims outside the timed section
+
+    val pages = sources.Fixtures.pages(spark, sfDir, replicate)
+      .select("url", "lang", "lon", "lat")
+    val nPages = pages.count()
+
+    val t0 = System.nanoTime()
+    val matches = operators.PipJoin.matches(pages, covers, polys, extraPageCols = Seq("lang", "lon", "lat"))
+    val tiled = operators.Tiling.tileCounts(
+      matches.select(col("url"), col("lang"), col("lon"), col("lat")), 10)
+    tiled.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    (nPages, secs)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "50").toInt
+    val spark = session(cpus)
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val (nPages, headlineSecs) = headline(spark, sfDir, replicate)
+    val pagesPerSec = nPages / headlineSecs
+
+    val qs = (results :+ ("headline_pip_tiling" -> headlineSecs))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + headlineSecs
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
+      s""""headline_pages":$nPages,"headline_pages_per_sec":${f"$pagesPerSec%.1f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

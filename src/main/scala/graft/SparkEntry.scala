@@ -1,13 +1,284 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Fixtures
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Conventions:
+  *  - oracle-checked queries are written as ONE shared SQL string executed
+  *    by both Spark (`spark.sql` over temp views of the driver tables) and
+  *    DuckDB (same views) — literal semantic parity, aliases included;
+  *  - engine-native operators (spatial joins, sketches, kNN, …) return
+  *    deterministic row sets and are validated by ScalaTest golden/property
+  *    suites; the driver records their rows-only check.
+  *  - double-typed aggregates are rounded or integer-scaled in BOTH
+  *    dialects so hash comparison is stable.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  val driverTables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    driverTables.foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+    }
+
+  // ---- shared SQL (Spark + DuckDB) ---------------------------------------
+
+  private def rectsValues: String =
+    Fixtures.cities.zipWithIndex.flatMap { case ((_, cx, cy), c) =>
+      Seq(("countries", 100 + c, 5.0), ("regions", 200 + c, 2.0), ("cities", 300 + c, 0.6))
+        .map { case (layer, id, r) =>
+          s"('$layer', $id, ${cx - r}, ${cy - r}, ${cx + r}, ${cy + r})"
+        }
+    }.mkString(",\n    ")
+
+  private def centersValues: String =
+    Fixtures.cities.zipWithIndex.map { case ((name, cx, cy), c) =>
+      s"($c, '$name', $cx, $cy)"
+    }.mkString(", ")
+
+  /** name → shared SQL (also the DuckDB oracle, verbatim). */
+  val sharedSql: Map[String, String] = Map(
+    "q_tile_counts" ->
+      s"""WITH pages AS (${Fixtures.pagesCte})
+         |SELECT 10 AS z, ${Tiling.txSql(10)} AS tx, ${Tiling.tySql(10)} AS ty,
+         |       count(*) AS n_pages, count(DISTINCT lang) AS n_langs
+         |FROM pages GROUP BY 2, 3""".stripMargin,
+
+    "q_pip_rect" ->
+      s"""WITH pages AS (${Fixtures.pagesCte}),
+         |rects AS (SELECT * FROM (VALUES
+         |    $rectsValues
+         |  ) AS t(layer, rect_id, lon_min, lat_min, lon_max, lat_max))
+         |SELECT p.doc_id, r.layer, r.rect_id
+         |FROM pages p JOIN rects r
+         |  ON p.lon BETWEEN r.lon_min AND r.lon_max
+         | AND p.lat BETWEEN r.lat_min AND r.lat_max""".stripMargin,
+
+    "q_pip_rect_missing" ->
+      s"""WITH pages AS (${Fixtures.pagesCte}),
+         |rects AS (SELECT * FROM (VALUES
+         |    $rectsValues
+         |  ) AS t(layer, rect_id, lon_min, lat_min, lon_max, lat_max)),
+         |matched AS (
+         |  SELECT p.doc_id, count(DISTINCT r.layer) AS n_layers
+         |  FROM pages p JOIN rects r
+         |    ON p.lon BETWEEN r.lon_min AND r.lon_max
+         |   AND p.lat BETWEEN r.lat_min AND r.lat_max
+         |  GROUP BY p.doc_id)
+         |SELECT p.doc_id, p.lang
+         |FROM pages p LEFT JOIN matched m ON p.doc_id = m.doc_id
+         |WHERE coalesce(m.n_layers, 0) < 3""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT l_orderkey, count(*) AS n_lines, CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_orderkey = l_orderkey AND o.o_orderstatus = 'F')
+        |GROUP BY l_orderkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT doc_id, lang FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = d.doc_id)""".stripMargin,
+
+    "q_agg_bbox" ->
+      s"""WITH pages AS (${Fixtures.pagesCte})
+         |SELECT lang, count(*) AS n,
+         |       round(min(lon), 6) AS min_lon, round(max(lon), 6) AS max_lon,
+         |       round(min(lat), 6) AS min_lat, round(max(lat), 6) AS max_lat
+         |FROM pages GROUP BY lang""".stripMargin,
+
+    "q_exact_dedup" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS rep_doc_id, count(*) AS n_dups
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q_quality" ->
+      s"""SELECT doc_id, lang,
+         |  ${TextOps.qualitySql.map { case (n, s) => s"$s AS $n" }.mkString(",\n  ")}
+         |FROM documents""".stripMargin,
+
+    "q_window_delta" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round(l_extendedprice - lag(l_extendedprice, 1, 0.0)
+        |             OVER (PARTITION BY l_orderkey ORDER BY l_linenumber), 2) AS delta
+        |FROM lineitem""".stripMargin,
+
+    "q_merge_incremental" ->
+      """WITH deletes AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+        |updates AS (
+        |  SELECT user_id, CAST(round(max(value) * 100) AS BIGINT) AS max_value_c
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id)
+        |SELECT d.doc_id, d.lang, coalesce(u.max_value_c, -1) AS merged_value_c
+        |FROM documents d
+        |LEFT JOIN updates u ON u.user_id = d.doc_id
+        |WHERE NOT EXISTS (SELECT 1 FROM deletes x WHERE x.user_id = d.doc_id)""".stripMargin,
+
+    "q_stream_window" ->
+      """SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS win, event_type,
+        |       count(*) AS n, CAST(round(sum(round(value * 100))) AS BIGINT) AS value_c
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_topk_centers" ->
+      s"""WITH pages AS (${Fixtures.pagesCte}),
+         |centers AS (SELECT * FROM (VALUES $centersValues) AS t(center_id, name, cx, cy)),
+         |scored AS (
+         |  SELECT c.center_id, p.doc_id,
+         |         round((p.lon - c.cx) * (p.lon - c.cx) + (p.lat - c.cy) * (p.lat - c.cy), 9) AS dist2,
+         |         row_number() OVER (PARTITION BY c.center_id
+         |                            ORDER BY round((p.lon - c.cx) * (p.lon - c.cx) + (p.lat - c.cy) * (p.lat - c.cy), 9), p.doc_id) AS rnk
+         |  FROM centers c CROSS JOIN pages p)
+         |SELECT center_id, CAST(rnk AS BIGINT) AS rnk, doc_id, dist2 FROM scored WHERE rnk <= 3""".stripMargin,
+
+    "q_union_dedup" ->
+      """SELECT DISTINCT doc_id, lang FROM (
+        |  SELECT doc_id, lang FROM documents WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT doc_id, lang FROM documents WHERE doc_id % 7 = 0) u""".stripMargin
+  )
+
+  /** Spark-SQL dialect tweaks where the shared text can't be identical.
+    * Key present ⇒ Spark runs this variant; DuckDB runs sharedSql(name).
+    */
+  val sparkSqlOverrides: Map[String, String] = Map(
+    // DuckDB epoch(ts) ⇔ Spark unix_timestamp(ts) (same integral result
+    // for our microsecond-precision timestamps; see q_stream_window note)
+    "q_stream_window" -> sharedSql("q_stream_window")
+      .replace("epoch(ts)", "unix_timestamp(ts)")
+  )
+
+  // ---- engine-native helpers ----------------------------------------------
+
+  private def dims(spark: SparkSession): (DataFrame, DataFrame) = {
+    val polys = Ingest.polygons(spark, Fixtures.nodesDf(spark), Fixtures.waysDf(spark),
+      Fixtures.relationsDf(spark), Fixtures.blacklist)
+    (polys, Ingest.cellCovers(polys))
+  }
+
+  private def pipMatches(spark: SparkSession, sfDir: String): DataFrame = {
+    val (polys, covers) = dims(spark)
+    PipJoin.matches(Fixtures.pages(spark, sfDir), covers, polys)
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * full ingest → cover index → PIP join → per-layer match counts.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    pipMatches(spark, "/root/testdata/sf0.001")
+      .groupBy("layer", "relId").agg(count(lit(1)).as("n_pages"))
+      .orderBy("layer", "relId")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val sqlBacked: Map[String, (SparkSession, String) => DataFrame] =
+      sharedSql.map { case (name, sql) =>
+        name -> ((s: SparkSession, dir: String) => {
+          registerViews(s, dir)
+          s.sql(sparkSqlOverrides.getOrElse(name, sql))
+        })
+      }
+
+    val native: Map[String, (SparkSession, String) => DataFrame] = Map(
+      // G1-G5: relation assembly → polygons (areas rounded for stability)
+      "q_polygons" -> ((s, _) => {
+        val (polys, _) = dims(s)
+        polys.select(col("relId"), col("adminLevel"), col("layer"), col("name"),
+          round(graft.functions.GeomExpressions.st_area(col("wkb")), 9).as("area"),
+          round(col("bbox.minx"), 6).as("minx"), round(col("bbox.miny"), 6).as("miny"),
+          round(col("bbox.maxx"), 6).as("maxx"), round(col("bbox.maxy"), 6).as("maxy"))
+      }),
+      // J1/J3: cover index table
+      "q_cell_covers" -> ((s, _) => {
+        val (_, covers) = dims(s)
+        covers.select("relId", "layer", "cellId", "cellMin", "cellMax")
+      }),
+      // J5/J6: the broadcast PIP join (flagship path)
+      "q_pip_spatial" -> ((s, dir) => pipMatches(s, dir).select("url", "layer", "relId")),
+      // J5 partitioned+salted variant — same rows by construction
+      "q_pip_partitioned" -> ((s, dir) => {
+        val (polys, covers) = dims(s)
+        PipJoin.matchesPartitioned(Fixtures.pages(s, dir), covers, polys, joinLevel = 8, salt = 4)
+      }),
+      // J8: completeness anti-join
+      "q_pip_missing" -> ((s, dir) => {
+        val pages = Fixtures.pages(s, dir)
+        PipJoin.missing(pages, pipMatches(s, dir), Seq("countries", "regions", "cities"))
+          .select("url", "doc_id", "lang")
+      }),
+      // J9/J10: suggestions with match-rules for unmatched points
+      "q_suggestions" -> ((s, dir) => {
+        val (polys, covers) = dims(s)
+        val pages = Fixtures.pages(s, dir)
+        val m = PipJoin.matches(pages, covers, polys)
+        val miss = PipJoin.missing(pages, m, Seq("countries", "regions", "cities"))
+        PipJoin.suggestions(miss, covers, polys, m,
+          Seq(PipJoin.MatchRule("countries", 100L, "cities", Seq(6))))
+          .select("url", "layer", "relId", "adminLevel", "name")
+      }),
+      // S5/G7: water shapefile pipeline
+      "q_water" -> ((s, _) =>
+        Ingest.waterPolygons(s, Fixtures.waterDf(s))
+          .select(col("id"),
+            round(graft.functions.GeomExpressions.st_area(col("wkb")), 9).as("area"))),
+      // E6: vector→raster at a fixed level
+      "q_raster_cells" -> ((s, _) => {
+        val (polys, _) = dims(s)
+        Tiling.rasterize(polys.filter(col("layer") === "cities"), 10)
+      }),
+      // E7: expanding-ring kNN
+      "q_knn" -> ((s, dir) => {
+        val pages = Fixtures.pages(s, dir)
+        val qs = Seq(0L, 1L, 2L, 3L, 4L).map { i =>
+          Knn.Query(s"q$i", Fixtures.cities(i.toInt)._2, Fixtures.cities(i.toInt)._3)
+        }
+        Knn.knn(pages, qs, k = 5).withColumn("dist", round(col("dist"), 3))
+      }),
+      // dedup family
+      "q_minhash_pairs" -> ((s, dir) => TextOps.minhashDedup(Fixtures.documents(s, dir), 0.7)),
+      "q_simhash_pairs" -> ((s, dir) => TextOps.simhashDedup(Fixtures.documents(s, dir), 3)),
+      "q_lang_id" -> ((s, dir) =>
+        TextOps.langId(Fixtures.documents(s, dir)).withColumn("score", round(col("score"), 6))),
+      "q_fingerprints" -> ((s, dir) =>
+        TextOps.fingerprintTable(Fixtures.documents(s, dir))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))),
+      // similarity search
+      "q_ann_brute" -> ((s, dir) =>
+        Similarity.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L to 9L, 5)),
+      "q_ann_ivf" -> ((s, dir) =>
+        Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L to 9L, 5)),
+      // multimodal plumbing (decode step stubbed deterministically)
+      "q_media_meta" -> ((s, dir) => Multimodal.decodeMeta(Fixtures.pages(s, dir))),
+      "q_media_frames" -> ((s, dir) => Multimodal.sampleFrames(Fixtures.pages(s, dir)))
+    )
+
+    sqlBacked ++ native
+  }
+
+  /** DuckDB-only oracles for engine-native queries whose Spark side is
+    * DataFrame code but whose semantics DuckDB can still express (the
+    * oracle text need not match the Spark text — only the result).
+    */
+  val duckOnlyOracle: Map[String, String] = Map(
+    "q_ann_brute" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, vec AS qv FROM emb WHERE vec_id <= 9),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id, round(list_cosine_similarity(q.qv, e.vec), 6) AS cos,
+        |         row_number() OVER (PARTITION BY q.query_id
+        |                            ORDER BY round(list_cosine_similarity(q.qv, e.vec), 6) DESC, e.vec_id) AS rank
+        |  FROM q CROSS JOIN emb e WHERE e.vec_id != q.query_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM scored WHERE rank <= 5""".stripMargin)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for engine-native geometry/sketch
+    * ops → driver records the weaker rows-only check (those are covered by
+    * golden ScalaTest suites instead).
+    */
+  def oracleSql: Map[String, String] = sharedSql ++ duckOnlyOracle
 }

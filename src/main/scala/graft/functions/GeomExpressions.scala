@@ -1,0 +1,261 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.locationtech.jts.geom.Geometry
+
+import graft.geom.{Algorithms, Jts}
+import graft.cells.{Cell, Coverer}
+
+/** Per-executor prepared-geometry memoization — the Spark analogue of the
+  * reference's 1024-entry GEOS LRU (/root/reference/osmtopo/env.go:103-111,
+  * 673-693). Keyed by WKB content; bounded LRU, thread-safe. Build-once
+  * probe-many: the PIP refine step prepares each polygon once per executor
+  * and probes millions of points against it.
+  */
+object PreparedCache {
+  private val MaxEntries = 1024
+  private val cache = new java.util.LinkedHashMap[java.nio.ByteBuffer, org.locationtech.jts.geom.prep.PreparedGeometry](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[java.nio.ByteBuffer, org.locationtech.jts.geom.prep.PreparedGeometry]): Boolean =
+      size() > MaxEntries
+  }
+  def get(wkb: Array[Byte]): org.locationtech.jts.geom.prep.PreparedGeometry = {
+    val key = java.nio.ByteBuffer.wrap(wkb)
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        val prepared = Jts.prepare(Jts.fromWkb(wkb))
+        cache.put(key, prepared)
+        prepared
+      }
+    }
+  }
+}
+
+/** ST_Point(lon, lat) → WKB point. */
+case class STPoint(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(lon: Any, lat: Any): Any =
+    Jts.toWkb(Jts.point(lon.asInstanceOf[Double], lat.asInstanceOf[Double]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  override def prettyName: String = "st_point"
+}
+
+/** ST_Contains(polyWkb, lon, lat) — exact point-in-polygon refine with the
+  * per-executor prepared cache (reference env.go:657-715).
+  */
+case class STContainsPoint(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(wkb: Any, lon: Any, lat: Any): Any =
+    PreparedCache.get(wkb.asInstanceOf[Array[Byte]])
+      .contains(Jts.point(lon.asInstanceOf[Double], lat.asInstanceOf[Double]))
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression = copy(a, b, c)
+  override def prettyName: String = "st_contains_point"
+}
+
+/** ST_Intersects(wkbA, wkbB) — prepared on the left side (water clip test,
+  * geometries.go:240-247).
+  */
+case class STIntersects(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PreparedCache.get(a.asInstanceOf[Array[Byte]])
+      .intersects(Jts.fromWkb(b.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  override def prettyName: String = "st_intersects"
+}
+
+/** ST_Difference(wkbA, wkbB) → wkb; null on topology failure (broken rows
+  * are dropped, geometries.go:136-140 semantics).
+  */
+case class STDifference(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    try Jts.toWkb(Jts.fromWkb(a.asInstanceOf[Array[Byte]]).difference(Jts.fromWkb(b.asInstanceOf[Array[Byte]])))
+    catch { case _: Exception => null }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  override def prettyName: String = "st_difference"
+}
+
+/** ST_Buffer0(wkb) — self-intersection repair (storage.go:101-105). */
+case class STBuffer0(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any): Any =
+    try Jts.toWkb(Jts.fromWkb(a.asInstanceOf[Array[Byte]]).buffer(0))
+    catch { case _: Exception => null }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_buffer0"
+}
+
+case class STArea(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any =
+    Jts.fromWkb(a.asInstanceOf[Array[Byte]]).getArea
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_area"
+}
+
+object STEnvelope {
+  val schema: StructType = StructType(Seq(
+    StructField("minx", DoubleType, nullable = false),
+    StructField("miny", DoubleType, nullable = false),
+    StructField("maxx", DoubleType, nullable = false),
+    StructField("maxy", DoubleType, nullable = false)))
+}
+
+/** ST_Envelope(wkb) → struct(minx,miny,maxx,maxy) (bbox, util.go:18-57). */
+case class STEnvelope(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = STEnvelope.schema
+  override def nullSafeEval(a: Any): Any = {
+    val env = Jts.fromWkb(a.asInstanceOf[Array[Byte]]).getEnvelopeInternal
+    InternalRow(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_envelope"
+}
+
+/** ST_CellAt(lon, lat, level) → Hilbert cell id. */
+case class STCellAt(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(lon: Any, lat: Any, level: Any): Any =
+    Cell.cellAt(lon.asInstanceOf[Double], lat.asInstanceOf[Double], level.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression = copy(a, b, c)
+  override def prettyName: String = "st_cell_at"
+}
+
+/** ST_CellAncestors(lon, lat, minLevel, maxLevel) → array of the point's
+  * ancestor cell ids — the probe side of the cover/ancestor PIP equi-join.
+  */
+case class STCellAncestors(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else {
+      val leaf = Cell.leaf(vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double])
+      new GenericArrayData(Cell.ancestors(leaf, vs(2).asInstanceOf[Int], vs(3).asInstanceOf[Int]))
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+  override def prettyName: String = "st_cell_ancestors"
+}
+
+/** ST_CellCover(wkb) → array of cover cell ids for all polygons of the
+  * geometry, the reference's RegionCoverer parameters (lookup.go:176-199).
+  */
+case class STCellCover(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(Coverer.coverGeometry(Jts.fromWkb(a.asInstanceOf[Array[Byte]])))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_cell_cover"
+}
+
+/** ST_SimplifyVW(wkb, threshold) — Visvalingam per-ring (water.go:163-177). */
+case class STSimplifyVW(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, t: Any): Any = {
+    val threshold = t.asInstanceOf[Double]
+    try {
+      val g = Jts.fromWkb(a.asInstanceOf[Array[Byte]])
+      Jts.toWkb(mapRings(g, pts => Algorithms.visvalingam(pts, threshold)))
+    } catch { case _: Exception => null }
+  }
+  private def mapRings(g: Geometry, f: IndexedSeq[(Double, Double)] => IndexedSeq[(Double, Double)]): Geometry =
+    GeomExpressions.mapPolygonRings(g, f)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  override def prettyName: String = "st_simplify_vw"
+}
+
+/** ST_GeoDistance(lon1, lat1, lon2, lat2) → meters (export.go:75 metric). */
+case class STGeoDistance(children: Seq[Expression]) extends Expression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else Algorithms.geoDistance(vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double])
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+  override def prettyName: String = "st_geo_distance"
+}
+
+/** Column-API + SQL registration for the geometry expression layer. */
+object GeomExpressions {
+  import org.apache.spark.sql.functions.lit
+
+  private def col(e: Expression): Column = org.apache.spark.sql.graft.Bridge.column(e)
+  private def expr(c: Column): Expression = org.apache.spark.sql.graft.Bridge.expression(c)
+
+  def st_point(lon: Column, lat: Column): Column = col(STPoint(expr(lon), expr(lat)))
+  def st_contains_point(wkb: Column, lon: Column, lat: Column): Column =
+    col(STContainsPoint(expr(wkb), expr(lon), expr(lat)))
+  def st_intersects(a: Column, b: Column): Column = col(STIntersects(expr(a), expr(b)))
+  def st_difference(a: Column, b: Column): Column = col(STDifference(expr(a), expr(b)))
+  def st_buffer0(a: Column): Column = col(STBuffer0(expr(a)))
+  def st_area(a: Column): Column = col(STArea(expr(a)))
+  def st_envelope(a: Column): Column = col(STEnvelope(expr(a)))
+  def st_cell_at(lon: Column, lat: Column, level: Int): Column =
+    col(STCellAt(expr(lon), expr(lat), expr(lit(level))))
+  def st_cell_ancestors(lon: Column, lat: Column, minLevel: Int, maxLevel: Int): Column =
+    col(STCellAncestors(Seq(expr(lon), expr(lat), expr(lit(minLevel)), expr(lit(maxLevel)))))
+  def st_cell_cover(wkb: Column): Column = col(STCellCover(expr(wkb)))
+  def st_simplify_vw(wkb: Column, threshold: Double): Column =
+    col(STSimplifyVW(expr(wkb), expr(lit(threshold))))
+  def st_geo_distance(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =
+    col(STGeoDistance(Seq(expr(lon1), expr(lat1), expr(lon2), expr(lat2))))
+
+  /** Apply a ring transform to every ring of every polygon of a geometry. */
+  def mapPolygonRings(g: Geometry, f: IndexedSeq[(Double, Double)] => IndexedSeq[(Double, Double)]): Geometry = {
+    def ringPts(r: org.locationtech.jts.geom.LineString): IndexedSeq[(Double, Double)] =
+      r.getCoordinates.map(c => (c.x, c.y)).toIndexedSeq
+    def mapPoly(p: org.locationtech.jts.geom.Polygon): org.locationtech.jts.geom.Polygon = {
+      val shell = f(ringPts(p.getExteriorRing))
+      val holes = (0 until p.getNumInteriorRing).map(i => f(ringPts(p.getInteriorRingN(i))))
+      Jts.polygon(shell, holes)
+    }
+    g match {
+      case p: org.locationtech.jts.geom.Polygon => mapPoly(p)
+      case mp: org.locationtech.jts.geom.MultiPolygon =>
+        Jts.factory.createMultiPolygon(
+          (0 until mp.getNumGeometries).map(i => mapPoly(mp.getGeometryN(i).asInstanceOf[org.locationtech.jts.geom.Polygon])).toArray)
+      case other => other
+    }
+  }
+
+  /** Register SQL-callable versions (used by tests and spark.sql parity). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def put(name: String, b: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    put("st_point", es => STPoint(es(0), es(1)))
+    put("st_contains_point", es => STContainsPoint(es(0), es(1), es(2)))
+    put("st_intersects", es => STIntersects(es(0), es(1)))
+    put("st_difference", es => STDifference(es(0), es(1)))
+    put("st_buffer0", es => STBuffer0(es(0)))
+    put("st_area", es => STArea(es(0)))
+    put("st_envelope", es => STEnvelope(es(0)))
+    put("st_cell_at", es => STCellAt(es(0), es(1), es(2)))
+    put("st_cell_ancestors", es => STCellAncestors(es))
+    put("st_cell_cover", es => STCellCover(es(0)))
+    put("st_simplify_vw", es => STSimplifyVW(es(0), es(1)))
+    put("st_geo_distance", es => STGeoDistance(es))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media payloads travel as opaque `binary`
+  * columns with typed metadata; decode / feature-extract / frame-sample run
+  * as partition-local batch transforms (`mapPartitions` — the Scala
+  * analogue of `mapInPandas` batches: one iterator pass, no shuffle, schema
+  * declared up front).
+  *
+  * NOTE: real image/audio codecs are not in this container — the decode
+  * step is a clearly-marked DETERMINISTIC STUB (`fakeDecode`) that derives
+  * metadata/features purely from the bytes. The Spark-side plumbing —
+  * schema, batching, partitioning, null handling — is real and tested; a
+  * production build swaps `fakeDecode` for an actual codec.
+  */
+object Multimodal {
+
+  case class MediaMeta(url: String, kind: String, byteLen: Long,
+                       width: Int, height: Int, durationMs: Long)
+
+  /** STUB decode: deterministic pseudo-metadata from the payload bytes.
+    * Replace with a real codec (javax.imageio / ffmpeg bindings) outside
+    * this sandbox.
+    */
+  def fakeDecode(url: String, bytes: Array[Byte]): MediaMeta = {
+    val h = java.util.Arrays.hashCode(bytes)
+    val kind = (h & 3) match {
+      case 0 => "image"; case 1 => "audio"; case 2 => "video"; case _ => "image"
+    }
+    MediaMeta(url, kind, bytes.length.toLong,
+      width = 64 + (math.abs(h) % 1024),
+      height = 64 + (math.abs(h / 7) % 1024),
+      durationMs = if (kind == "image") 0L else 1000L + (math.abs(h) % 600000))
+  }
+
+  /** Decode metadata for a (url, payload binary) table — one batch pass per
+    * partition.
+    */
+  def decodeMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("url"), col("html").as("payload")).as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (url, bytes) => fakeDecode(url, bytes) })
+      .toDF()
+  }
+
+  /** Feature extraction: fixed-width float vector per payload (STUB:
+    * byte-histogram projection — deterministic; the schema/batch shape is
+    * what a real embedding model would produce).
+    */
+  def features(media: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("url"), col("html").as("payload")).as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (url, bytes) =>
+        val v = new Array[Float](dim)
+        var i = 0
+        while (i < bytes.length) { v((bytes(i) & 0xff) % dim) += 1f; i += 1 }
+        val n = math.max(1, bytes.length).toFloat
+        (url, v.map(_ / n).toSeq)
+      })
+      .toDF("url", "features")
+  }
+
+  /** Frame sampling for video-kind payloads: every `everyMs` up to the
+    * (stub) duration → one row per sampled frame with a deterministic
+    * frame hash.
+    */
+  def sampleFrames(media: DataFrame, everyMs: Long = 60000L): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("url"), col("html").as("payload")).as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (url, bytes) =>
+        val meta = fakeDecode(url, bytes)
+        if (meta.kind != "video") Iterator.empty
+        else (0L to meta.durationMs by everyMs).iterator.map { ts =>
+          (url, ts, scala.util.hashing.MurmurHash3.bytesHash(bytes, ts.toInt).toLong)
+        }
+      })
+      .toDF("url", "frame_ms", "frame_hash")
+  }
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeomExpressions._
+
+/** The central spatial join: "for each page (point), which polygons of
+  * each layer contain it?" — the Spark re-expression of the reference's
+  * segment-tree stab + exact GEOS refine
+  * (/root/reference/osmtopo/lookup/lookup.go:156-174, env.go:657-715).
+  *
+  * Coarse phase: a cover cell containing a point's leaf cell is necessarily
+  * an *ancestor* of that leaf (quadtree ranges are nested-or-disjoint), so
+  * the interval-stab becomes an **equi-join**: explode each page into its
+  * ancestor cell ids at the cover's level band and hash-join against the
+  * cover table on cellId. No range predicate, no false negatives.
+  *
+  * Exact phase: residual `ST_Contains(polyWkb, lon, lat)` with prepared
+  * geometries memoized per executor.
+  *
+  * Two physical strategies, per the north rule's skew requirement:
+  *  - broadcast (default): covers ⋈ polygons is tiny → broadcast; the
+  *    explode is map-side, zero shuffle of the page table;
+  *  - partitioned: for dimension tables too big to broadcast — covers are
+  *    exploded to a fixed join level and shuffled; pages carry one row per
+  *    fixed-level cell, optionally salted for hot cells.
+  */
+object PipJoin {
+
+  /** Level band actually present in a cover table — probing only these
+    * levels shrinks the page-side explode from 19 ancestors to the band in
+    * use (collected once; the cover table is the small side).
+    */
+  def coverLevelBand(covers: DataFrame): (Int, Int) = {
+    val row = covers
+      .select(expr("cast(30 - log2(cellId & -cellId) / 2 as int)").as("lvl"))
+      .agg(min("lvl"), max("lvl")).head()
+    (row.getInt(0), row.getInt(1))
+  }
+
+  /** Broadcast strategy. `pages` needs (url, lon, lat); covers
+    * (relId, layer, cellId); polygons (relId, wkb). Output: one row per
+    * (url, layer, relId) containment — identical row set to the
+    * reference's queryLookup matches.
+    */
+  def matches(pages: DataFrame, covers: DataFrame, polygons: DataFrame,
+              extraPageCols: Seq[String] = Nil): DataFrame = {
+    val (minL, maxL) = coverLevelBand(covers)
+    val coversWithGeom = covers.join(polygons.select(col("relId"), col("wkb")), Seq("relId"))
+    pages
+      .withColumn("cellId", explode(st_cell_ancestors(col("lon"), col("lat"), minL, maxL)))
+      .join(broadcast(coversWithGeom), Seq("cellId"))
+      .filter(st_contains_point(col("wkb"), col("lon"), col("lat")))
+      .select((Seq("url", "layer", "relId") ++ extraPageCols).map(col): _*)
+  }
+
+  /** Partitioned strategy for non-broadcastable dimension sides: covers are
+    * exploded down/up to `joinLevel`; pages carry exactly one join key (their
+    * `joinLevel` ancestor) plus a salt. Coarse cover cells explode to their
+    * `joinLevel` descendants that the polygon's bbox intersects; finer cells
+    * map to their ancestor (deduplicated) and keep their range for the
+    * residual test. AQE's skew-join handles stragglers; `salt` > 1
+    * additionally replicates the cover side for hot cells.
+    */
+  def matchesPartitioned(pages: DataFrame, covers: DataFrame, polygons: DataFrame,
+                         joinLevel: Int = 8, salt: Int = 1): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+
+    val coverCells = covers.select(col("relId"), col("layer"), col("cellId"))
+      .as[(Long, String, Long)]
+      .flatMap { case (relId, layer, cellId) =>
+        val l = graft.cells.Cell.level(cellId)
+        if (l >= joinLevel)
+          Iterator.single((relId, layer, graft.cells.Cell.parent(cellId, joinLevel), cellId))
+        else {
+          // descend to joinLevel: at most 4^(joinLevel-l) cells; coarse
+          // cover cells are rare (big polygons) by construction
+          def desc(c: Long): Iterator[Long] =
+            if (graft.cells.Cell.level(c) == joinLevel) Iterator.single(c)
+            else graft.cells.Cell.children(c).iterator.flatMap(desc)
+          desc(cellId).map(j => (relId, layer, j, cellId))
+        }
+      }
+      .toDF("relId", "layer", "joinCell", "cellId")
+      .dropDuplicates("relId", "layer", "joinCell", "cellId")
+      .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+
+    val probes = pages
+      .withColumn("joinCell", st_cell_at(col("lon"), col("lat"), joinLevel))
+      .withColumn("leaf", st_cell_at(col("lon"), col("lat"), graft.cells.Cell.MaxLevel))
+      .withColumn("salt", pmod(hash(col("url")), lit(salt)))
+
+    probes
+      .join(coverCells, Seq("joinCell", "salt"))
+      .filter(col("leaf").between(
+        expr("cellId - (cellId & -cellId) + 1"), expr("cellId + (cellId & -cellId) - 1")))
+      .join(polygons.select(col("relId"), col("wkb")), Seq("relId"))
+      .filter(st_contains_point(col("wkb"), col("lon"), col("lat")))
+      .select("url", "layer", "relId")
+      .dropDuplicates("url", "layer", "relId")
+  }
+
+  /** J7: matched-per-layer pivot — one row per url with the matched relId
+    * per layer (first match, deterministic by min relId).
+    */
+  def perLayer(matches: DataFrame, layers: Seq[String]): DataFrame =
+    matches.groupBy("url").pivot("layer", layers).agg(min("relId"))
+
+  /** J8: completeness — pages NOT matched in all `layers` (the "missing"
+    * workflow, missing.go:25-61): emitted with the set of layers they did
+    * match.
+    */
+  def missing(pages: DataFrame, matches: DataFrame, layers: Seq[String]): DataFrame = {
+    val counts = matches
+      .filter(col("layer").isin(layers: _*))
+      .groupBy("url").agg(countDistinct("layer").as("nLayers"))
+    pages.join(counts, Seq("url"), "left")
+      .filter(coalesce(col("nLayers"), lit(0)) < layers.length)
+      .select(pages.columns.map(col): _*)
+  }
+
+  /** J9+J10: suggestions for unmatched points — query the *uncurated*
+    * polygon set, then apply match-rules: when the point's match in
+    * `rule.matchLayer` equals `rule.matchRelId`, suggestions in
+    * `rule.restrictLayer` must have adminLevel ∈ restrict set
+    * (config.go:62-65 + frontend store.tsx:103-124 semantics, applied
+    * server-side).
+    */
+  case class MatchRule(matchLayer: String, matchRelId: Long,
+                       restrictLayer: String, restrictAdminLevels: Seq[Int])
+
+  def suggestions(missingPages: DataFrame, covers: DataFrame, polygons: DataFrame,
+                  matches: DataFrame, rules: Seq[MatchRule]): DataFrame = {
+    val sugg = PipJoin.matches(missingPages, covers, polygons)
+      .join(polygons.select(col("relId"), col("adminLevel"), col("name")), Seq("relId"))
+    rules.foldLeft(sugg) { (acc, rule) =>
+      val ruled = matches
+        .filter(col("layer") === rule.matchLayer && col("relId") === rule.matchRelId)
+        .select(col("url").as("r_url")).distinct()
+      acc.join(ruled, acc("url") === col("r_url"), "left")
+        .filter(col("r_url").isNull || col("layer") =!= rule.restrictLayer ||
+          col("adminLevel").isin(rule.restrictAdminLevels: _*))
+        .drop("r_url")
+    }
+  }
+}

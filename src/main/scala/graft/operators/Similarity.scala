@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Baseline: brute-force cosine top-k via codegen'd
+  * array expressions (`zip_with` + `aggregate` — sequential array-order
+  * summation, matching the DuckDB oracle's list functions). Scale path:
+  * IVF — embeddings bucketed by nearest centroid, queries probe the
+  * nearest `nProbe` lists, exact re-rank inside.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<float|double> columns as a codegen'd
+    * column expression (deterministic array-order summation).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Brute-force top-k: queries (small, broadcast) × embeddings → cosine →
+    * row_number ≤ k with deterministic (score desc, vec_id) ordering.
+    * Output (query_id, rank, vec_id, cos) with cos rounded for oracle
+    * stability.
+    */
+  def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val emb = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qvec"), col("vec")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** IVF index: nCentroids "centroids" are the embeddings of the lowest
+    * vec_ids (deterministic, training-free); every vector is assigned to
+    * its nearest centroid (one shuffle-free broadcast pass).
+    */
+  def ivfAssign(embeddings: DataFrame, nCentroids: Int): DataFrame = {
+    val emb = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val centroids = emb.orderBy("vec_id").limit(nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id"))
+    emb.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("vec"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("vec"), col("centroid_id"))
+  }
+
+  /** IVF top-k: probe the `nProbe` nearest centroid lists per query, exact
+    * cosine re-rank inside the probed lists. Same output shape as
+    * bruteForceTopK; recall < 1 by construction (validated in tests).
+    */
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val assigned = ivfAssign(embeddings, nCentroids).cache()
+    val centroids = assigned.filter(col("vec_id") === col("centroid_id"))
+      .select(col("centroid_id").as("c_id"), col("vec").as("cvec"))
+    val queries = assigned.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("c_id"))
+    val probed = queries.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("qvec"), col("cvec")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("c_id").as("centroid_id"))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    probed.join(assigned, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qvec"), col("vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+  }
+}

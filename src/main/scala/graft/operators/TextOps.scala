@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** Text-analysis + deduplication operators over the `documents`/`pages`
+  * tables — the training-data-pipeline half of the engine. All hashes are
+  * seeded MurmurHash3 (JVM-stable, deterministic); per-document sketches
+  * (minhash, simhash, fingerprints) are computed in a *map* (no explode →
+  * no shuffle for the sketch phase); only the LSH band bucketing shuffles,
+  * keyed by (band, bandHash).
+  */
+object TextOps {
+
+  def tokens(text: String): Array[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  // ---- sketches (per-row, shuffle-free) ----------------------------------
+
+  val NumMinHashes = 32
+  val Bands = 8 // 4 rows per band
+
+  def tokenShingles(text: String, n: Int = 3): Array[String] = {
+    val ts = tokens(text)
+    if (ts.length < n) Array(ts.mkString(" "))
+    else ts.sliding(n).map(_.mkString(" ")).toArray
+  }
+
+  def minHashes(text: String): Array[Long] = {
+    val sh = tokenShingles(text)
+    Array.tabulate(NumMinHashes) { i =>
+      var m = Long.MaxValue
+      var j = 0
+      while (j < sh.length) {
+        val h = (MurmurHash3.stringHash(sh(j), i).toLong << 32) |
+          (MurmurHash3.stringHash(sh(j), i + 1000) & 0xffffffffL)
+        if (h < m) m = h
+        j += 1
+      }
+      m
+    }
+  }
+
+  def simHash(text: String): Long = {
+    val counts = new Array[Int](64)
+    for (t <- tokens(text)) {
+      val h = (MurmurHash3.stringHash(t, 7).toLong << 32) |
+        (MurmurHash3.stringHash(t, 1007) & 0xffffffffL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Winnowing document fingerprint: minimum k-gram rolling hash per
+    * window, deduplicated — the classic published winnowing scheme
+    * (Schleimer/Wilkerson/Aiken 2003), deterministic.
+    */
+  def fingerprints(text: String, k: Int = 8, window: Int = 16): Array[Long] = {
+    val s = text.toLowerCase
+    if (s.length < k) return Array(MurmurHash3.stringHash(s, 3).toLong)
+    val grams = Array.tabulate(s.length - k + 1)(i => MurmurHash3.stringHash(s.substring(i, i + k), 3).toLong)
+    if (grams.length <= window) Array(grams.min)
+    else grams.sliding(window).map(_.min).toArray.distinct
+  }
+
+  def jaccard(a: Array[String], b: Array[String]): Double = {
+    val sa = a.toSet; val sb = b.toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+  }
+
+  // ---- operators ----------------------------------------------------------
+
+  /** Exact dedup: hash-groupBy on content (md5 shared with the oracle).
+    * One representative row (min doc_id) + duplicate count per content.
+    */
+  def exactDedup(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min("doc_id").as("rep_doc_id"), count(lit(1)).as("n_dups"))
+
+  case class DocSketch(doc_id: Long, minhashes: Seq[Long])
+
+  /** MinHash-LSH near-dup candidate pairs verified by exact shingle
+    * Jaccard ≥ `threshold`. Sketch phase is a map; banding shuffles on
+    * (band, bandHash); verification joins text back for the (few)
+    * candidate pairs only.
+    */
+  def minhashDedup(documents: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val rows = NumMinHashes / Bands
+
+    val sketches = documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => DocSketch(id, minHashes(text).toSeq) }
+
+    val buckets = sketches.flatMap { s =>
+      (0 until Bands).iterator.map { b =>
+        val slice = s.minhashes.slice(b * rows, (b + 1) * rows)
+        (b, MurmurHash3.orderedHash(slice, b).toLong, s.doc_id)
+      }
+    }.toDF("band", "bandHash", "doc_id")
+
+    val pairs = buckets.as("a")
+      .join(buckets.as("b"), Seq("band", "bandHash"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val texts = documents.select(col("doc_id"), col("text"))
+    pairs
+      .join(texts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), Seq("doc_a"))
+      .join(texts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("text_a"), col("text_b"))
+      .as[(Long, Long, String, String)]
+      .map { case (a, b, ta, tb) => (a, b, jaccard(tokenShingles(ta), tokenShingles(tb))) }
+      .toDF("doc_a", "doc_b", "jaccard")
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash near-dup: 64-bit sketches bucketed by 4 16-bit bands (any pair
+    * within Hamming distance 3 shares ≥1 band — pigeonhole), then exact
+    * Hamming verification ≤ `maxHamming`.
+    */
+  def simhashDedup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sketches = documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, simHash(t)) }
+      .toDF("doc_id", "simhash")
+
+    val banded = sketches.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), expr(s"(simhash >> ${b * 16}) & 65535").as("bandVal"))): _*)).as("bd"))
+      .select(col("doc_id"), col("simhash"), col("bd.band"), col("bd.bandVal"))
+
+    banded.as("a").join(banded.as("b"), Seq("band", "bandVal"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Language-ID: stopword-profile scoring over tokens (n-gram heuristic).
+    * Returns (doc_id, lang_pred, score).
+    */
+  val langProfiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "a", "in", "is", "it", "for", "on"),
+    "de" -> Set("der", "die", "und", "das", "ist", "ein", "zu", "mit", "auf", "von"),
+    "fr" -> Set("le", "la", "et", "les", "des", "un", "une", "est", "pour", "que"),
+    "es" -> Set("el", "los", "y", "de", "la", "que", "es", "un", "una", "por"))
+
+  def langId(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val ts = tokens(text)
+        val scores = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+          (lang, if (ts.isEmpty) 0.0 else ts.count(words.contains).toDouble / ts.length)
+        }
+        val best = scores.maxBy(s => (s._2, s._1))
+        (id, if (best._2 > 0) best._1 else "und", best._2)
+      }
+      .toDF("doc_id", "lang_pred", "score")
+  }
+
+  /** Quality scoring with SQL-shared arithmetic (length / punctuation /
+    * whitespace ratios) — the oracle runs the identical expressions.
+    */
+  val qualitySql: Seq[(String, String)] = Seq(
+    "n_chars_obs" -> "CAST(length(text) AS BIGINT)",
+    "n_tokens" -> "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)",
+    "punct_ratio" -> "round((length(text) - length(replace(replace(replace(text, '.', ''), ',', ''), '!', ''))) * 1e0 / length(text), 6)",
+    "space_ratio" -> "round((length(text) - length(replace(text, ' ', ''))) * 1e0 / length(text), 6)")
+
+  def quality(documents: DataFrame): DataFrame =
+    qualitySql.foldLeft(documents.select(col("doc_id"), col("text"), col("lang"))) {
+      case (df, (name, sql)) => df.withColumn(name, expr(sql))
+    }.drop("text")
+
+  /** Winnowing fingerprint table (doc_id, fp) — exploded fingerprint set,
+    * the shared-substring dedup primitive.
+    */
+  def fingerprintTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) => fingerprints(t).iterator.map(fp => (id, fp)) }
+      .toDF("doc_id", "fp")
+  }
+}

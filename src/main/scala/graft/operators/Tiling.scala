@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cells.{Cell, Coverer}
+import graft.geom.Jts
+
+/** E6: quadkey tiling and raster⇄vector conversion (graft extension
+  * required by the north rule; not present in the reference, which tiles
+  * only by export slices).
+  */
+object Tiling {
+
+  /** SQL for tile x/y at zoom z over the equirectangular grid — shared
+    * verbatim with the DuckDB oracle (floor math, no engine-specific
+    * functions; CAST pins BIGINT in both dialects).
+    */
+  def txSql(z: Int): String = s"CAST(floor(least((lon + 180.0) / 360.0, 1.0 - 1e-12) * ${1L << z}) AS BIGINT)"
+  def tySql(z: Int): String = s"CAST(floor(least((lat + 90.0) / 180.0, 1.0 - 1e-12) * ${1L << z}) AS BIGINT)"
+
+  /** Tile assignment: one row per page with (z, tx, ty) + the Hilbert cell
+    * id and quadkey of the same tile.
+    */
+  def assign(pages: DataFrame, z: Int): DataFrame = {
+    import graft.functions.GeomExpressions._
+    pages
+      .withColumn("z", lit(z))
+      .withColumn("tx", expr(txSql(z)))
+      .withColumn("ty", expr(tySql(z)))
+      .withColumn("cellId", st_cell_at(col("lon"), col("lat"), z))
+  }
+
+  /** Per-tile aggregation (tile = groupBy quadkey cell). */
+  def tileCounts(pages: DataFrame, z: Int): DataFrame =
+    assign(pages, z)
+      .groupBy("z", "tx", "ty")
+      .agg(count(lit(1)).as("n_pages"), countDistinct(col("lang")).as("n_langs"))
+
+  /** Vector→raster: polygon → the complete set of level-`level` cells
+    * intersecting it (grid cover, exact level). Output (relId, layer,
+    * cellId).
+    */
+  def rasterize(polygons: DataFrame, level: Int): DataFrame = {
+    val spark = polygons.sparkSession
+    import spark.implicits._
+    polygons.select(col("relId"), col("layer"), col("wkb"))
+      .as[(Long, String, Array[Byte])]
+      .flatMap { case (relId, layer, wkb) =>
+        val g = Jts.fromWkb(wkb)
+        val cells = collection.mutable.LinkedHashSet[Long]()
+        var i = 0
+        while (i < g.getNumGeometries) {
+          g.getGeometryN(i) match {
+            case p: org.locationtech.jts.geom.Polygon =>
+              val ring = p.getExteriorRing.getCoordinates.map(c => (c.x, c.y)).toIndexedSeq
+              cells ++= Coverer.cover(ring, minLevel = level, maxLevel = level, maxCells = Int.MaxValue)
+            case _ =>
+          }
+          i += 1
+        }
+        cells.iterator.map(c => (relId, layer, c))
+      }
+      .toDF("relId", "layer", "cellId")
+  }
+
+  /** Raster→vector: reconstruct a polygon per relId as the union of its
+    * raster cells' boxes (per-key local union — cell counts are bounded by
+    * the rasterize level).
+    */
+  def vectorize(raster: DataFrame): DataFrame = {
+    val spark = raster.sparkSession
+    import spark.implicits._
+    raster.select(col("relId"), col("cellId"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (relId, it) =>
+        val boxes = it.map { case (_, cellId) =>
+          val (lonMin, latMin, lonMax, latMax) = Cell.bounds(cellId)
+          Jts.polygon(IndexedSeq((lonMin, latMin), (lonMax, latMin), (lonMax, latMax),
+            (lonMin, latMax), (lonMin, latMin))): org.locationtech.jts.geom.Geometry
+        }.toSeq
+        val union = org.locationtech.jts.operation.union.UnaryUnionOp.union(
+          scala.jdk.CollectionConverters.SeqHasAsJava(boxes).asJava)
+        (relId, Jts.toWkb(union))
+      }
+      .toDF("relId", "wkb")
+  }
+}

@@ -1,0 +1,212 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic engine fixtures (FIXTURES.md §B).
+  *
+  * `pages` is the fact table from BASELINE.json's input_hint —
+  * (url, warc_ts, html, text, lang) + a geocode that is a *pure integer
+  * function of doc_id*, expressed as SQL shared verbatim between the Spark
+  * plan and the DuckDB oracle. 60% of pages cluster into 5 "city" hotspots
+  * (skew for the salted-join path); text is carried byte-identical from
+  * `documents` (the per-row invariant).
+  *
+  * The OSM-side dimension tables (nodes/ways/relations/water) mirror
+  * storage.proto:20-42 and are synthesized closed-form (no RNG): octagonal
+  * admin polygons at three levels around each city, ways split/reversed/
+  * rotated so ring assembly must do end→start, end→end and start→start
+  * merges, a hole member, a blacklisted relation, a tag-rejected relation,
+  * and the degenerate shapes the reference guards against (duplicate
+  * consecutive points — the Hoorn regression; <4 unique points — cover
+  * skip; area < 1e-5 — assembly drop).
+  */
+object Fixtures {
+
+  // ---- pages ------------------------------------------------------------
+
+  /** (lonSql, latSql): the geocode, identical in Spark SQL and DuckDB. */
+  val latSql: String =
+    """CASE WHEN doc_id % 10 < 6 THEN
+      |  (CASE doc_id % 5 WHEN 0 THEN 50850000 WHEN 1 THEN 48850000 WHEN 2 THEN 40700000
+      |        WHEN 3 THEN 35700000 ELSE -33900000 END
+      |   + ((doc_id * 7919) % 1000000) - 500000) / 1e6
+      |ELSE ((doc_id * 2654435761) % 180000000) / 1e6 - 90.0 END""".stripMargin
+  val lonSql: String =
+    """CASE WHEN doc_id % 10 < 6 THEN
+      |  (CASE doc_id % 5 WHEN 0 THEN 4350000 WHEN 1 THEN 2350000 WHEN 2 THEN -74000000
+      |        WHEN 3 THEN 139700000 ELSE 151200000 END
+      |   + ((doc_id * 104729) % 1000000) - 500000) / 1e6
+      |ELSE ((doc_id * 1099511628211) % 360000000) / 1e6 - 180.0 END""".stripMargin
+
+  /** The same pages derivation as a SQL CTE body for the DuckDB oracle. */
+  def pagesCte: String =
+    s"""SELECT doc_id,
+       |       concat('https://example.test/doc/', doc_id) AS url,
+       |       text, lang,
+       |       1704067200 + doc_id AS warc_epoch,
+       |       $lonSql AS lon,
+       |       $latSql AS lat
+       |FROM documents""".stripMargin
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** The pages fact table. `replicate` > 1 scales the table for benchmarks
+    * (each replica keeps the geocode of its doc but a distinct url); oracle
+    * queries use replicate=1 so DuckDB sees the identical table.
+    */
+  def pages(spark: SparkSession, sfDir: String, replicate: Int = 1): DataFrame = {
+    val base = documents(spark, sfDir)
+      .withColumn("url", concat(lit("https://example.test/doc/"), col("doc_id")))
+      .withColumn("warc_epoch", lit(1704067200L) + col("doc_id"))
+      .withColumn("warc_ts", timestamp_seconds(col("warc_epoch")))
+      .withColumn("html", concat(lit("<html><body>"), col("text"), lit("</body></html>")).cast("binary"))
+      .withColumn("lon", expr(lonSql))
+      .withColumn("lat", expr(latSql))
+      .select("doc_id", "url", "warc_ts", "warc_epoch", "html", "text", "lang", "lon", "lat")
+    if (replicate <= 1) base
+    else base
+      .withColumn("rep", explode(sequence(lit(0), lit(replicate - 1))))
+      .withColumn("url", concat(col("url"), lit("/"), col("rep")))
+      .drop("rep")
+  }
+
+  // ---- OSM-like dimension tables -----------------------------------------
+
+  case class Node(id: Long, lat: Double, lon: Double)
+  case class Member(id: Long, mtype: Int, role: String)
+  case class Relation(id: Long, tags: Map[String, String], members: Seq[Member])
+  /** A shapefile-part analogue: one polygon = multiple rings in one row. */
+  case class WaterPoly(id: Long, rings: Seq[Seq[(Double, Double)]])
+  case class Way(id: Long, refs: Seq[Long])
+
+  val cities: Seq[(String, Double, Double)] = Seq(
+    ("brussels", 4.35, 50.85), ("paris", 2.35, 48.85), ("nyc", -74.0, 40.7),
+    ("tokyo", 139.7, 35.7), ("sydney", 151.2, -33.9))
+
+  val blacklist: Seq[Long] = Seq(999L)
+
+  /** CCW octagon vertices (open ring, 8 points). */
+  def octagon(cx: Double, cy: Double, r: Double): IndexedSeq[(Double, Double)] =
+    (0 until 8).map { k =>
+      val th = k * math.Pi / 4
+      // 6-decimal grid keeps coordinates exactly representable
+      (math.rint((cx + r * math.cos(th)) * 1e6) / 1e6,
+        math.rint((cy + r * math.sin(th)) * 1e6) / 1e6)
+    }
+
+  /** In-memory OSM fixture: (nodes, ways, relations, water). */
+  lazy val osm: (Seq[Node], Seq[Way], Seq[Relation], Seq[WaterPoly]) = {
+    val nodes = collection.mutable.ArrayBuffer[Node]()
+    val ways = collection.mutable.ArrayBuffer[Way]()
+    val rels = collection.mutable.ArrayBuffer[Relation]()
+
+    /** Register a ring for relation `relId` with role; returns members.
+      * Splits the closed 9-point path into 3 chains, reverses the middle
+      * one, and rotates member order by relId%3 — forcing all three merge
+      * branches of ring assembly.
+      */
+    def addRing(relId: Long, ringIdx: Int, ring: IndexedSeq[(Double, Double)], role: String): Seq[Member] = {
+      val baseNode = relId * 1000 + ringIdx * 100
+      val ids = ring.indices.map(k => baseNode + k)
+      ring.zip(ids).foreach { case ((lon, lat), id) => nodes += Node(id, lat, lon) }
+      val closed = ids :+ ids.head
+      val n = closed.length // 9 for octagon
+      val cuts = Seq(0, n / 3, 2 * n / 3, n - 1)
+      val chains = cuts.sliding(2).map { case Seq(a, b) => closed.slice(a, b + 1) }.toSeq
+      val wayIds = chains.indices.map(k => relId * 100 + ringIdx * 10 + k)
+      val oriented = chains.zipWithIndex.map { case (c, k) => if (k == 1) c.reverse else c }
+      wayIds.zip(oriented).foreach { case (wid, refs) => ways += Way(wid, refs.map(_.toLong)) }
+      val rot = (relId % 3).toInt
+      val order = wayIds.indices.map(k => wayIds((k + rot) % wayIds.length))
+      order.map(wid => Member(wid, 1, role))
+    }
+
+    def addRelation(relId: Long, tags: Map[String, String],
+                    outer: IndexedSeq[(Double, Double)],
+                    inner: Option[IndexedSeq[(Double, Double)]] = None): Unit = {
+      val ms = addRing(relId, 0, outer, "outer") ++
+        inner.map(r => addRing(relId, 1, r, "inner")).getOrElse(Nil) :+
+        Member(relId * 1000 + 999, 0, "admin_centre") // node member, must be ignored
+      nodes += Node(relId * 1000 + 999, outer.head._2, outer.head._1)
+      rels += Relation(relId, tags, ms)
+    }
+
+    cities.zipWithIndex.foreach { case ((name, cx, cy), c) =>
+      addRelation(100 + c, Map("admin_level" -> "2", "name" -> s"country_$name",
+        "name:nl" -> s"land_$name", "boundary" -> "administrative"),
+        octagon(cx, cy, 5.0),
+        // country 100 (brussels) has a lake hole east of the region
+        if (c == 0) Some(octagon(cx + 3.0, cy, 0.8)) else None)
+      addRelation(200 + c, Map("admin_level" -> "4", "name" -> s"region_$name"),
+        octagon(cx, cy, 2.0))
+      addRelation(300 + c, Map("admin_level" -> (if (c < 3) "6" else "8"), "name" -> s"city_$name"),
+        octagon(cx, cy, 0.6))
+    }
+    // water relation (accepted via natural=water)
+    addRelation(500, Map("natural" -> "water", "name" -> "north_sea"),
+      octagon(4.35 - 4.5, 50.85, 1.5))
+    // blacklisted
+    addRelation(999, Map("admin_level" -> "2", "name" -> "blacklisted"),
+      octagon(20.0, 20.0, 3.0))
+    // no accepted tag -> rejected on ingest
+    addRelation(998, Map("name" -> "no_admin"), octagon(25.0, 25.0, 3.0))
+    // area below 1e-5 -> dropped during assembly (polygon.go:55-62)
+    addRelation(997, Map("admin_level" -> "6", "name" -> "tiny"),
+      octagon(30.0, 30.0, 0.001))
+    // duplicate consecutive point (Hoorn regression): valid polygon + cover
+    val dupRing = {
+      val o = octagon(10.0, 45.0, 1.0)
+      (o.take(3) :+ o(2)) ++ o.drop(3) // duplicate vertex 2
+    }
+    addRelation(996, Map("admin_level" -> "4", "name" -> "dup_point"), dupRing)
+    // only 3 unique points: assembles to a (degenerate) polygon but its
+    // cover is empty (lookup.go:183-185) -> never matched via the index
+    val triRing = IndexedSeq((40.0, 10.0), (41.0, 10.0), (40.0, 11.0))
+    addRelation(995, Map("admin_level" -> "4", "name" -> "triangle"), triRing)
+
+    // orphan rows exercising the needed-id semi-joins (S3)
+    nodes += Node(900001L, 0.0, 0.0)
+    nodes += Node(900002L, 1.0, 1.0)
+    ways += Way(900001L, Seq(900001L, 900002L))
+
+    // water shapefile parts (S5/G7): ocean west of brussels with an island
+    // hole, a sub-threshold speck, and a 2-point degenerate part.
+    // Orientation per the reference's shoelace: area >= 0 => outer.
+    val oceanOuter = {
+      val o = octagon(-1.0, 50.85, 2.5)
+      if (!graft.geom.Algorithms.isClockwise(o :+ o.head)) o.reverse else o
+    }
+    val island = {
+      val o = octagon(-1.0, 50.85, 0.4)
+      if (graft.geom.Algorithms.isClockwise(o :+ o.head)) o.reverse else o
+    }
+    val speck = octagon(-3.0, 49.0, 0.0005)
+    val water = Seq(WaterPoly(1L,
+      Seq(oceanOuter.toSeq, island.toSeq, speck.toSeq, Seq((0.0, 0.0), (1.0, 1.0)))))
+
+    (nodes.toSeq, ways.toSeq, rels.toSeq, water)
+  }
+
+  def nodesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    osm._1.toDF("id", "lat", "lon")
+  }
+  def waysDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    osm._2.toDF("id", "refs")
+  }
+  def relationsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    osm._3.map(r => (r.id, r.tags, r.members.map(m => (m.id, m.mtype, m.role))))
+      .toDF("id", "tags", "members")
+      .withColumn("members", expr("transform(members, m -> struct(m._1 AS id, m._2 AS type, m._3 AS role))"))
+  }
+  def waterDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    osm._4.map(w => (w.id, w.rings.map(_.map(p => (p._1, p._2)))))
+      .toDF("id", "rings")
+      .withColumn("rings", expr("transform(rings, r -> transform(r, p -> struct(p._1 AS x, p._2 AS y)))"))
+  }
+}

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.cells.{Cell, Coverer}
+import graft.geom.Jts
+import graft.sources.Fixtures
+
+/** End-to-end checks of ingest → cover index → PIP join against an
+  * independent brute-force JTS implementation (no cell index involved).
+  */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val polys = Ingest.polygons(spark, Fixtures.nodesDf(spark), Fixtures.waysDf(spark),
+    Fixtures.relationsDf(spark), Fixtures.blacklist).cache()
+  lazy val covers = Ingest.cellCovers(polys).cache()
+  lazy val pages = Fixtures.pages(spark, sf0001).cache()
+
+  test("ingest filters: blacklist, tag-rejected and sub-area relations dropped") {
+    val ids = polys.select("relId").as[Long].collect().toSet
+    assert(!ids.contains(999L), "blacklisted")
+    assert(!ids.contains(998L), "no accepted tag")
+    assert(!ids.contains(997L), "area below 1e-5")
+    assert(ids.contains(996L), "duplicate-point ring must survive (Hoorn regression)")
+    assert(ids.contains(995L), "triangle assembles")
+    assert(ids.contains(500L), "natural=water accepted")
+    assert((100 to 104).forall(i => ids.contains(i.toLong)) &&
+      (200 to 204).forall(i => ids.contains(i.toLong)) &&
+      (300 to 304).forall(i => ids.contains(i.toLong)))
+  }
+
+  test("country 100 carries its hole; hole area subtracted") {
+    val wkb = polys.filter($"relId" === 100L).select("wkb").as[Array[Byte]].head()
+    val g = Jts.fromWkb(wkb)
+    val shellOnly = Fixtures.octagon(4.35, 50.85, 5.0)
+    val hole = Fixtures.octagon(4.35 + 3.0, 50.85, 0.8)
+    val full = Jts.polygon(shellOnly :+ shellOnly.head)
+    val holeP = Jts.polygon(hole :+ hole.head)
+    assert(math.abs(g.getArea - (full.getArea - holeP.getArea)) < 1e-9)
+    assert(!g.contains(Jts.point(7.35, 50.85)), "lake center must be outside")
+  }
+
+  test("degenerate triangle (relId 995) has no cover -> absent from cell_covers") {
+    val covered = covers.select("relId").distinct().as[Long].collect().toSet
+    assert(!covered.contains(995L))
+    assert(covered.contains(996L), "dup-point ring is covered")
+    covers.select("cellId").as[Long].collect().foreach { c =>
+      val l = Cell.level(c)
+      assert(l >= 4 && l <= 22)
+    }
+  }
+
+  test("PIP broadcast join matches independent JTS brute force (index semantics)") {
+    // brute force *through the index semantics*: only polygons with a
+    // non-empty cover are findable (lookup.go:183-189)
+    val dims = polys.select("relId", "layer", "wkb").as[(Long, String, Array[Byte])].collect()
+      .filter { case (_, _, wkb) => Coverer.coverGeometry(Jts.fromWkb(wkb)).nonEmpty }
+    val pts = pages.select("url", "lon", "lat").as[(String, Double, Double)].collect()
+    val expected = (for {
+      (url, lon, lat) <- pts
+      (relId, layer, wkb) <- dims
+      if Jts.fromWkb(wkb).contains(Jts.point(lon, lat))
+    } yield (url, layer, relId)).toSet
+
+    val got = PipJoin.matches(pages, covers, polys)
+      .select("url", "layer", "relId").as[(String, String, Long)].collect().toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(got.nonEmpty)
+  }
+
+  test("partitioned+salted PIP join returns identical rows to broadcast") {
+    val a = PipJoin.matches(pages, covers, polys)
+      .select("url", "layer", "relId").as[(String, String, Long)].collect().toSet
+    val b = PipJoin.matchesPartitioned(pages, covers, polys, joinLevel = 8, salt = 4)
+      .as[(String, String, Long)].collect().toSet
+    val c = PipJoin.matchesPartitioned(pages, covers, polys, joinLevel = 11, salt = 1)
+      .as[(String, String, Long)].collect().toSet
+    assert(a == b && a == c)
+  }
+
+  test("completeness anti-join: missing = pages not matched in all 3 layers") {
+    val m = PipJoin.matches(pages, covers, polys)
+    val miss = PipJoin.missing(pages, m, Seq("countries", "regions", "cities"))
+      .select("url").as[String].collect().toSet
+    val full = m.filter($"layer".isin("countries", "regions", "cities"))
+      .groupBy("url").agg(countDistinct("layer").as("n"))
+      .filter($"n" === 3).select("url").as[String].collect().toSet
+    val all = pages.select("url").as[String].collect().toSet
+    assert(miss == all -- full)
+  }
+
+  test("suggestion rules: restricted layer filtered by admin level") {
+    val m = PipJoin.matches(pages, covers, polys)
+    val miss = PipJoin.missing(pages, m, Seq("countries", "regions", "cities"))
+    val unrestricted = PipJoin.suggestions(miss, covers, polys, m, Nil)
+    val restricted = PipJoin.suggestions(miss, covers, polys, m,
+      Seq(PipJoin.MatchRule("countries", 100L, "cities", Seq(99))))
+    // pages matched to country 100 lose all 'cities' suggestions (level 99 impossible)
+    val urls100 = m.filter($"layer" === "countries" && $"relId" === 100L)
+      .select("url").as[String].collect().toSet
+    val r = restricted.filter($"layer" === "cities").select("url").as[String].collect().toSet
+    assert(r.intersect(urls100).isEmpty)
+    assert(unrestricted.count() >= restricted.count())
+  }
+
+  test("water shapefile pipeline: island hole subtracted, speck dropped") {
+    val w = Ingest.waterPolygons(spark, Fixtures.waterDf(spark))
+      .select("id", "wkb").as[(Long, Array[Byte])].collect()
+    assert(w.length == 1)
+    val g = Jts.fromWkb(w.head._2)
+    assert(!g.contains(Jts.point(-1.0, 50.85)), "island center outside water")
+    assert(g.contains(Jts.point(-1.0, 52.0)), "ocean north inside")
+  }
+
+  test("per-row invariant: text byte-identical through pages derivation") {
+    val docs = Fixtures.documents(spark, sf0001).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val pg = pages.select("doc_id", "text", "html").as[(Long, String, Array[Byte])].collect()
+    pg.foreach { case (id, text, html) =>
+      assert(text == docs(id))
+      assert(new String(html, "UTF-8") == s"<html><body>${docs(id)}</body></html>")
+    }
+  }
+
+  test("tile assignment consistent between SQL tx/ty math and hilbert cell") {
+    val t = Tiling.assign(pages, 10)
+      .select("tx", "ty", "cellId").as[(Long, Long, Long)].collect()
+    t.foreach { case (tx, ty, cellId) =>
+      val (x, y, l) = Cell.toXY(cellId)
+      assert(l == 10 && x == tx && y == ty)
+    }
+  }
+
+  test("raster -> vector round trip covers the polygon") {
+    val cityPolys = polys.filter($"layer" === "cities")
+    val raster = Tiling.rasterize(cityPolys, 10)
+    val vector = Tiling.vectorize(raster)
+    val orig = cityPolys.select("relId", "wkb").as[(Long, Array[Byte])].collect().toMap
+    val back = vector.as[(Long, Array[Byte])].collect()
+    assert(back.length == orig.size)
+    back.foreach { case (relId, wkb) =>
+      val approx = Jts.fromWkb(wkb)
+      val exact = Jts.fromWkb(orig(relId))
+      // rasterization at a fixed level covers the original polygon
+      assert(approx.covers(exact), s"relId $relId not covered")
+    }
+  }
+
+  test("kNN expanding-ring equals brute force") {
+    val qs = Seq(Knn.Query("q0", 4.35, 50.85), Knn.Query("far", -170.0, -80.0))
+    val got = Knn.knn(pages, qs, k = 5)
+      .select("queryId", "rank", "url").as[(String, Long, String)].collect()
+      .groupBy(_._1).map { case (q, rows) => q -> rows.sortBy(_._2).map(_._3).toSeq }
+    val pts = pages.select("url", "lon", "lat").as[(String, Double, Double)].collect()
+    qs.foreach { q =>
+      val brute = pts.map { case (url, lon, lat) =>
+        (graft.geom.Algorithms.geoDistance(q.lon, q.lat, lon, lat), url)
+      }.sortBy(identity).take(5).map(_._2).toSeq
+      assert(got(q.queryId) == brute, s"query ${q.queryId}")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("SQL registration: st_ functions callable from spark.sql") {
+    val df = spark.sql(
+      "SELECT st_area(st_buffer0(st_point(1.0d, 2.0d))) AS a, st_cell_at(4.35d, 50.85d, 10) AS c")
+    val row = df.head()
+    assert(row.getDouble(0) == 0.0)
+    assert(Cell.level(row.getLong(1)) == 10)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Fixtures
+
+class TextOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val docs = Fixtures.documents(spark, sf0001).cache()
+
+  test("minhash LSH finds all near-identical pairs brute force finds (high threshold)") {
+    // brute force exact jaccard over all pairs (500 docs -> 124750 pairs, fine locally)
+    val all = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val brute = (for {
+      i <- all.indices.iterator
+      j <- (i + 1) until all.length
+      jac = TextOps.jaccard(TextOps.tokenShingles(all(i)._2), TextOps.tokenShingles(all(j)._2))
+      if jac >= 0.9
+    } yield (math.min(all(i)._1, all(j)._1), math.max(all(i)._1, all(j)._1))).toSet
+
+    val lsh = TextOps.minhashDedup(docs, 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // LSH at 8 bands x 4 rows: P(detect | jac=0.9) ~ 1 - (1-0.9^4)^8 ~ 0.9993;
+    // with the shingle sets in this corpus every >=0.9 pair must band-collide
+    assert(brute.subsetOf(lsh) || (brute -- lsh).isEmpty, s"missed: ${brute -- lsh}")
+    // and everything LSH emits passed the exact verification >= 0.9
+    val verified = TextOps.minhashDedup(docs, 0.9)
+      .as[(Long, Long, Double)].collect()
+    verified.foreach { case (_, _, j) => assert(j >= 0.9) }
+  }
+
+  test("simhash: identical docs collide at hamming 0, verified pairs <= 3") {
+    val pairs = TextOps.simhashDedup(docs, 3).as[(Long, Long, Long)].collect()
+    pairs.foreach { case (_, _, h) => assert(h <= 3) }
+    // identical texts (if any duplicate text exists) must appear at hamming 0
+    val dupGroups = docs.groupBy("text").agg(collect_list("doc_id").as("ids"))
+      .filter(size($"ids") > 1).select("ids").as[Seq[Long]].collect()
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    dupGroups.foreach { ids =>
+      val sorted = ids.sorted
+      for (a <- sorted; b <- sorted if a < b)
+        assert(got.contains((a, b)), s"identical pair ($a,$b) missed")
+    }
+  }
+
+  test("language id picks the profile language on crafted samples") {
+    val samples = Seq(
+      (1L, "the cat and the dog sat on a mat in the house"),
+      (2L, "der hund und die katze ist ein tier mit fell auf dem sofa"),
+      (3L, "le chat et la souris est une histoire pour les enfants"),
+      (4L, "el perro y el gato es un animal de la casa por la noche")).toDF("doc_id", "text")
+    val got = TextOps.langId(samples).select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "fr" && got(4L) == "es")
+  }
+
+  test("winnowing fingerprints: shared substrings share fingerprints") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again today"
+    val a = TextOps.fingerprints("AAA " + shared + " tail one")
+    val b = TextOps.fingerprints("BBB prefix " + shared + " other end")
+    assert(a.toSet.intersect(b.toSet).nonEmpty)
+    // determinism
+    assert(TextOps.fingerprints(shared).toSeq == TextOps.fingerprints(shared).toSeq)
+  }
+
+  test("exact dedup groups by content") {
+    val d = TextOps.exactDedup(docs)
+    assert(d.agg(sum("n_dups")).as[Long].head() == docs.count())
+  }
+
+  test("multimodal plumbing: meta schema, features normalized, frames only for video") {
+    val pages = Fixtures.pages(spark, sf0001).cache()
+    val meta = Multimodal.decodeMeta(pages)
+    assert(meta.columns.toSeq == Seq("url", "kind", "byteLen", "width", "height", "durationMs"))
+    assert(meta.count() == pages.count())
+    val feats = Multimodal.features(pages, dim = 16).select("features").as[Seq[Float]].collect()
+    feats.foreach { v => assert(v.length == 16 && math.abs(v.sum - 1.0) < 1e-3) }
+    val frames = Multimodal.sampleFrames(pages)
+    val kinds = meta.select("url", "kind").as[(String, String)].collect().toMap
+    frames.select("url").distinct().as[String].collect()
+      .foreach(u => assert(kinds(u) == "video"))
+  }
+
+  test("IVF ANN recall >= 0.8 vs brute force at nProbe=4/16") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(emb, 0L to 9L, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, 0L to 9L, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+}

@@ -161,6 +161,13 @@ object SparkEntry {
     (polys, Ingest.cellCovers(polys))
   }
 
+  private def topoCountries(spark: SparkSession): Export.LayerResult = {
+    val (polys, _) = dims(spark)
+    val water = Ingest.waterPolygons(spark, Fixtures.waterDf(spark))
+    Export.layer(polys, water, "countries", Seq(100L, 101L, 102L, 103L, 104L),
+      simplifyDigits = 3, quantize = 1e6, pointLimit = 20)
+  }
+
   private def pipMatches(spark: SparkSession, sfDir: String): DataFrame = {
     val (polys, covers) = dims(spark)
     PipJoin.matches(Fixtures.pages(spark, sfDir), covers, polys)
@@ -252,6 +259,26 @@ object SparkEntry {
         Similarity.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L to 9L, 5)),
       "q_ann_ivf" -> ((s, dir) =>
         Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L to 9L, 5)),
+      // P1-P10/E1-E5: topology pipeline — shared-arc dedup, DP simplify,
+      // quantize, water clip, greedy slicing (engine-native; golden-tested)
+      "q_topo_arcs" -> ((s, _) => {
+        import s.implicits._
+        val res = topoCountries(s)
+        res.topo.arcsQ.get.select(col("arcId"), col("qpts"))
+          .as[(Long, Seq[(Int, Int)])]
+          .map { case (id, q) => (id, q.length, q.map(p => p._1.toLong + p._2).sum) }
+          .toDF("arcId", "n_pts", "delta_sum")
+      }),
+      "q_topo_objects" -> ((s, _) => {
+        val res = topoCountries(s)
+        res.topo.objects.select(col("objId"), col("nPoints"),
+          round(col("minx"), 6).as("minx"), round(col("miny"), 6).as("miny"),
+          round(col("maxx"), 6).as("maxx"), round(col("maxy"), 6).as("maxy"))
+      }),
+      "q_topo_slices" -> ((s, _) => {
+        import s.implicits._
+        topoCountries(s).slices.toDF("objId", "slice")
+      }),
       // multimodal plumbing (decode step stubbed deterministically)
       "q_media_meta" -> ((s, dir) => Multimodal.decodeMeta(Fixtures.pages(s, dir))),
       "q_media_frames" -> ((s, dir) => Multimodal.sampleFrames(Fixtures.pages(s, dir)))

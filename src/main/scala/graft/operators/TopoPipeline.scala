@@ -1,0 +1,279 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.geom.{Algorithms, Jts}
+
+/** The topology pipeline — the reference's GeometryPipeline + TopoJSON
+  * encoding re-expressed as typed Dataset aggregations
+  * (/root/reference/osmtopo/geometries.go:24-291 and the published
+  * TopoJSON algorithm used via github.com/rubenv/topojson: join points →
+  * cut arcs at junctions → dedup shared arcs → per-arc Douglas-Peucker with
+  * pinned endpoints (topology preserved because *arcs*, not rings, are
+  * simplified) → quantize + delta-encode).
+  *
+  * Stage map:
+  *  - P1/P2/P3: feature load/filter/enrichment — plain select/filter;
+  *  - P5: pre-clip simplification (simplify > 0 ∧ clipWater), no quantize;
+  *  - P6/P7: water clipping — buffer(0) then prepared-intersects +
+  *    difference against broadcast water clip geoms simplified at the same
+  *    tolerance (water.go:235-300);
+  *  - P8: shared-arc dedup via canonical (min of forward/reversed)
+  *    serialization, arc ids assigned by deterministic sort order;
+  *  - P9: quantization q×q with transform scale/translate and per-arc
+  *    integer delta encoding;
+  *  - E2/E3/E4/E5: bbox centers (reproducing the reference's
+  *    bb[0]+bb[2]/2 arithmetic *as written*, export.go:50-57), greedy
+  *    nearest-centroid slicing (export.go:59-115), point counting through
+  *    arc indirection with the `^arc` reversed convention
+  *    (export.go:120-171), slice filtering.
+  */
+object TopoPipeline {
+
+  case class RingRow(objId: Long, polyIdx: Int, ringIdx: Int, pts: Seq[(Double, Double)])
+  case class ArcUse(objId: Long, polyIdx: Int, ringIdx: Int, segIdx: Int,
+                    key: String, reversed: Boolean)
+  case class ArcRow(key: String, pts: Seq[(Double, Double)])
+
+  /** Topology result: all DataFrames deterministic.
+    *  - arcs(arcId, pts array<struct x,y double>) — simplified, unquantized
+    *  - arcsQ(arcId, qpts array<struct x,y int>) — quantized delta-encoded
+    *  - uses(objId, polyIdx, ringIdx, segIdx, arcId, reversed)
+    *  - objects(objId, bbox, nPoints)
+    *  - transform (scale/translate) when quantize > 0
+    */
+  case class Topology(arcs: DataFrame, arcsQ: Option[DataFrame], uses: DataFrame,
+                      objects: DataFrame, transform: Option[(Double, Double, Double, Double)])
+
+  /** Explode feature polygons into rings. */
+  def rings(features: DataFrame): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.select(col("objId"), col("wkb")).as[(Long, Array[Byte])]
+      .flatMap { case (objId, wkb) =>
+        val g = Jts.fromWkb(wkb)
+        (0 until g.getNumGeometries).iterator.flatMap { pi =>
+          g.getGeometryN(pi) match {
+            case p: org.locationtech.jts.geom.Polygon =>
+              val shell = p.getExteriorRing.getCoordinates.map(c => (c.x, c.y)).toSeq
+              val holes = (0 until p.getNumInteriorRing).map(h =>
+                p.getInteriorRingN(h).getCoordinates.map(c => (c.x, c.y)).toSeq)
+              (shell +: holes).zipWithIndex.map { case (r, ri) => RingRow(objId, pi, ri, r) }
+            case _ => Nil
+          }
+        }
+      }.toDF()
+  }
+
+  private def ptKey(p: (Double, Double)): String = s"${p._1}:${p._2}"
+
+  /** TopoJSON "join": a point is a junction when it occurs with more than
+    * one distinct (unordered) neighbor pair across all rings. Closed rings
+    * wrap around, so ring starts are not artificial junctions.
+    */
+  def junctions(ringsDf: DataFrame): DataFrame = {
+    val spark = ringsDf.sparkSession
+    import spark.implicits._
+    ringsDf.as[RingRow].flatMap { r =>
+      val open = r.pts.dropRight(1) // closed ring: last == first
+      val n = open.length
+      (0 until n).iterator.map { i =>
+        val p = open(i)
+        val a = ptKey(open((i - 1 + n) % n))
+        val b = ptKey(open((i + 1) % n))
+        val pair = if (a <= b) s"$a|$b" else s"$b|$a"
+        (ptKey(p), pair)
+      }
+    }.toDF("pt", "pair")
+      .groupBy("pt").agg(countDistinct("pair").as("nPairs"))
+      .filter(col("nPairs") > 1)
+      .select("pt")
+  }
+
+  /** Cut rings into arcs at junctions; rings without junctions stay one
+    * closed arc. Rings with junctions are rotated to start at their first
+    * junction occurrence (deterministic).
+    */
+  def cut(ringsDf: DataFrame, junctionSet: Set[String]): DataFrame = {
+    val spark = ringsDf.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(junctionSet)
+    ringsDf.as[RingRow].flatMap { r =>
+      val jx = bc.value
+      val open = r.pts.dropRight(1).toIndexedSeq
+      val n = open.length
+      val jIdx = (0 until n).filter(i => jx.contains(ptKey(open(i))))
+      val arcs: Seq[Seq[(Double, Double)]] =
+        if (jIdx.isEmpty) Seq(open :+ open.head)
+        else {
+          val start = jIdx.head
+          val rotated = (0 until n).map(i => open((start + i) % n)) :+ open(start)
+          // split at junction positions within the rotated ring
+          val cuts = (0 to n).filter(i => i == 0 || i == n || jx.contains(ptKey(rotated(i))))
+          cuts.sliding(2).map { case Seq(a, b) => rotated.slice(a, b + 1): Seq[(Double, Double)] }.toSeq
+        }
+      arcs.zipWithIndex.map { case (a, si) =>
+        val fwd = a.map(ptKey).mkString(";")
+        val rev = a.reverse.map(ptKey).mkString(";")
+        val reversed = rev < fwd
+        (r.objId, r.polyIdx, r.ringIdx, si,
+          if (reversed) rev else fwd,
+          reversed,
+          if (reversed) a.reverse else a)
+      }
+    }.toDF("objId", "polyIdx", "ringIdx", "segIdx", "key", "reversed", "pts")
+  }
+
+  /** Full topology build. simplifyDigits > 0 → tolerance 10^-digits
+    * (geometries.go:178-180); quantize > 0 → PostQuantize transform.
+    */
+  def topology(features: DataFrame, simplifyDigits: Int, quantize: Double): Topology = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    val maxErr = if (simplifyDigits > 0) math.pow(10, -simplifyDigits) else 0.0
+
+    val ringsDf = rings(features).cache()
+    val jx = junctions(ringsDf).as[String].collect().toSet
+    val cutDf = cut(ringsDf, jx).cache()
+
+    // shared-arc dedup: one row per canonical key, deterministic dense ids
+    val w = Window.orderBy("key")
+    val uniqueArcs = cutDf.select(col("key"), col("pts")).dropDuplicates("key")
+      .withColumn("arcId", row_number().over(w).cast("long") - 1)
+      .cache()
+
+    // per-arc simplification with pinned endpoints (topology-preserving)
+    val simplified =
+      if (maxErr <= 0) uniqueArcs.select("arcId", "pts")
+      else uniqueArcs.select(col("arcId"), col("pts")).as[(Long, Seq[(Double, Double)])]
+        .map { case (id, pts) =>
+          (id, Algorithms.douglasPeucker(pts.toIndexedSeq, maxErr): Seq[(Double, Double)])
+        }.toDF("arcId", "pts")
+
+    val uses = cutDf.join(uniqueArcs.select("key", "arcId"), Seq("key"))
+      .select("objId", "polyIdx", "ringIdx", "segIdx", "arcId", "reversed")
+
+    // objects: bbox + point count through arc indirection (E4 semantics)
+    val arcLens = simplified.select(col("arcId"), size(col("pts")).as("len"))
+    val objects = uses.join(arcLens, Seq("arcId"))
+      .groupBy("objId").agg(sum("len").as("nPoints"))
+      .join(features.select(col("objId"),
+        col("bbox.minx").as("minx"), col("bbox.miny").as("miny"),
+        col("bbox.maxx").as("maxx"), col("bbox.maxy").as("maxy")), Seq("objId"))
+
+    // quantization: global transform over simplified arcs (PostQuantize)
+    val transform =
+      if (quantize <= 0) None
+      else {
+        val ext = simplified.select(explode(col("pts")).as("p"))
+          .agg(min("p._1"), max("p._1"), min("p._2"), max("p._2")).head()
+        val (x0, x1, y0, y1) = (ext.getDouble(0), ext.getDouble(1), ext.getDouble(2), ext.getDouble(3))
+        val kx = if (x1 > x0) (quantize - 1) / (x1 - x0) else 1.0
+        val ky = if (y1 > y0) (quantize - 1) / (y1 - y0) else 1.0
+        Some((kx, ky, x0, y0))
+      }
+
+    val arcsQ = transform.map { case (kx, ky, x0, y0) =>
+      simplified.as[(Long, Seq[(Double, Double)])].map { case (id, pts) =>
+        val q = pts.map { case (x, y) =>
+          (math.round((x - x0) * kx).toInt, math.round((y - y0) * ky).toInt)
+        }
+        // drop consecutive duplicates post-quantization; keep >= 2 positions
+        val dedup = q.headOption.toSeq ++ q.sliding(2).collect { case Seq(a, b) if a != b => b }
+        val kept = if (dedup.length < 2) Seq(q.head, q.last) else dedup
+        // delta encode
+        val deltas = kept.head +: kept.sliding(2).map { case Seq(a, b) =>
+          (b._1 - a._1, b._2 - a._2)
+        }.toSeq
+        (id, deltas)
+      }.toDF("arcId", "qpts")
+    }
+
+    ringsDf.unpersist()
+    Topology(simplified, arcsQ, uses, objects, transform)
+  }
+
+  /** P6/P7: water clipping. Water geoms are ring-simplified at the same
+    * tolerance, buffer(0)-repaired and broadcast; each feature is
+    * buffer(0)-repaired then differenced against every intersecting clip
+    * geometry (sequentially, like geometries.go:228-263).
+    */
+  def clipWater(features: DataFrame, water: DataFrame, simplifyDigits: Int): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    val maxErr = if (simplifyDigits > 0) math.pow(10, -simplifyDigits) else 0.0
+    val waterWkbs = water.select("wkb").as[Array[Byte]].collect().map { wkb =>
+      val g = Jts.fromWkb(wkb)
+      val s = if (maxErr > 0)
+        graft.functions.GeomExpressions.mapPolygonRings(g,
+          pts => Algorithms.douglasPeucker(pts, maxErr))
+      else g
+      Jts.toWkb(s.buffer(0))
+    }
+    val bc = spark.sparkContext.broadcast(waterWkbs)
+
+    val outCols = features.columns
+    val clipped = features.withColumn("wkb",
+      udf((wkb: Array[Byte]) => {
+        var geom = Jts.fromWkb(wkb).buffer(0)
+        bc.value.foreach { w =>
+          val wg = Jts.fromWkb(w)
+          if (graft.functions.PreparedCache.get(w).intersects(geom)) {
+            try geom = geom.difference(wg) catch { case _: Exception => }
+          }
+        }
+        Jts.toWkb(geom)
+      }).apply(col("wkb")))
+    clipped.select(outCols.map(col): _*)
+  }
+
+  /** E3: greedy nearest-centroid slicing — reproduces export.go:59-98
+    * exactly, including the aggregated-center initialization quirk (starts
+    * at (0,0) with centerCount=1) and the bb[0]+bb[2]/2 "center"
+    * arithmetic (E2). Driver-side over one row per object (tiny by
+    * construction). Returns (objId, slice).
+    */
+  def slices(objects: DataFrame, pointLimit: Int): Seq[(Long, Int)] = {
+    val spark = objects.sparkSession
+    import spark.implicits._
+    val objs = objects.select(col("objId"), col("minx"), col("miny"),
+      col("maxx"), col("maxy"), col("nPoints"))
+      .as[(Long, Double, Double, Double, Double, Long)].collect()
+
+    val centers = scala.collection.mutable.LinkedHashMap[Long, (Double, Double)]()
+    val points = scala.collection.mutable.HashMap[Long, Long]()
+    objs.sortBy(_._1).foreach { case (id, minx, miny, maxx, maxy, n) =>
+      // reference: bb[0] + bb[2]/2, bb[1] + bb[3]/2 — as written
+      centers(id) = (minx + maxx / 2, miny + maxy / 2)
+      points(id) = n
+    }
+
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    var slice = 0
+    while (centers.nonEmpty) {
+      var aggX = 0.0; var aggY = 0.0
+      var centerCount = 1
+      var pointCount = 0L
+      while (pointCount < pointLimit && centers.nonEmpty) {
+        val curLng = aggX / centerCount
+        val curLat = aggY / centerCount
+        var bestId = -1L
+        var bestDist = Double.MaxValue
+        for ((id, (cx, cy)) <- centers) {
+          val d = Algorithms.geoDistance(curLng, curLat, cx, cy)
+          if (d < bestDist) { bestDist = d; bestId = id }
+        }
+        val (cx, cy) = centers(bestId)
+        aggX += cx; aggY += cy
+        centerCount += 1
+        centers.remove(bestId)
+        out += ((bestId, slice))
+        pointCount += points(bestId)
+      }
+      slice += 1
+    }
+    out.toSeq
+  }
+}

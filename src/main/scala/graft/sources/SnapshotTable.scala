@@ -1,0 +1,199 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg-style snapshot table layer over partitioned Parquet: every
+  * commit writes a JSON manifest listing the snapshot's partitions with
+  * per-partition row counts, byte sizes and lineage — the Spark analogue
+  * of the reference's stamp/flag/sequence checkpoint keys
+  * (/root/reference/osmtopo/db.go:52-142) that make the hourly update loop
+  * resumable and auditable.
+  *
+  * Layout:
+  *   <base>/<table>/data/snapshot=<N>/<partCol>=<v>/...parquet
+  *   <base>/<table>/manifests/snapshot-<N>.json
+  *
+  * Semantics:
+  *  - `commit` — full write of a new snapshot; partitions already present
+  *    in the parent snapshot whose keys are in `keep` are *referenced*,
+  *    not rewritten (skip-if-current: the reference's staleness stamps,
+  *    water.go:26-34);
+  *  - `resume` — recommit after a crash: only partitions missing from the
+  *    interrupted snapshot's data dir are computed and written;
+  *  - `merge` — keyed upsert+delete producing a new snapshot (the diff
+  *    replication semantics, source.go:93-220), with the change-batch
+  *    sequence number recorded like `int/seq/<name>`.
+  */
+object SnapshotTable {
+
+  case class PartitionMeta(key: String, path: String, rows: Long, bytes: Long,
+                           lineage: Seq[String])
+  case class Manifest(table: String, partCol: String, snapshot: Long, parent: Long,
+                      seq: Long, inputs: Seq[String], partitions: Seq[PartitionMeta])
+
+  private def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def manifestJson(m: Manifest): String = {
+    val parts = m.partitions.map { p =>
+      s"""{"key":${q(p.key)},"path":${q(p.path)},"rows":${p.rows},"bytes":${p.bytes},""" +
+        s""""lineage":[${p.lineage.map(q).mkString(",")}]}"""
+    }.mkString("[", ",", "]")
+    s"""{"table":${q(m.table)},"partCol":${q(m.partCol)},"snapshot":${m.snapshot},"parent":${m.parent},""" +
+      s""""seq":${m.seq},"inputs":[${m.inputs.map(q).mkString(",")}],"partitions":$parts}"""
+  }
+
+  /** Minimal JSON field extraction (manifests are engine-written, flat). */
+  private def parseManifest(json: String): Manifest = {
+    def longOf(name: String): Long =
+      s""""$name":(-?\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong).get
+    def strList(arr: String): Seq[String] =
+      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(arr).map(_.group(1)).toSeq
+    val partsJson = json.substring(json.indexOf("\"partitions\":") + 13)
+    val parts = "\\{[^{}]*\\}".r.findAllIn(partsJson).toSeq.map { pj =>
+      def f(n: String) = s""""$n":(-?\\d+)""".r.findFirstMatchIn(pj).map(_.group(1).toLong).get
+      def s(n: String) = (s""""$n":"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(pj).map(_.group(1)).get
+      val lineage = pj.indexOf("\"lineage\":[") match {
+        case -1 => Nil
+        case i => strList(pj.substring(i + 11, pj.indexOf("]", i)))
+      }
+      PartitionMeta(s("key"), s("path"), f("rows"), f("bytes"), lineage)
+    }
+    val inputsArr = json.indexOf("\"inputs\":[") match {
+      case -1 => Nil
+      case i => strList(json.substring(i + 10, json.indexOf("]", i)))
+    }
+    def strField(name: String): String =
+      (s""""$name":"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(json).map(_.group(1)).get
+    Manifest(strField("table"), strField("partCol"),
+      longOf("snapshot"), longOf("parent"), longOf("seq"), inputsArr, parts)
+  }
+
+  def manifestDir(base: String, table: String): Path = Paths.get(base, table, "manifests")
+
+  def latest(base: String, table: String): Option[Manifest] = {
+    val dir = manifestDir(base, table)
+    if (!Files.exists(dir)) None
+    else {
+      val files = Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("snapshot-")).toSeq
+      if (files.isEmpty) None
+      else {
+        val newest = files.maxBy(p =>
+          p.getFileName.toString.stripPrefix("snapshot-").stripSuffix(".json").toLong)
+        Some(parseManifest(Files.readString(newest)))
+      }
+    }
+  }
+
+  private def dirBytes(p: Path): Long =
+    Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+
+  /** Write df partitioned by `partCol` into a new snapshot. Partition keys
+    * listed in `keepFromParent` are carried over from the parent manifest
+    * (not recomputed). Returns the committed manifest.
+    */
+  def commit(df: DataFrame, base: String, table: String, partCol: String,
+             inputs: Seq[String] = Nil, lineage: Map[String, Seq[String]] = Map.empty,
+             keepFromParent: Set[String] = Set.empty, seq: Long = 0L): Manifest = {
+    val parent = latest(base, table)
+    val snapId = parent.map(_.snapshot + 1).getOrElse(0L)
+    val dataDir = Paths.get(base, table, "data", s"snapshot=$snapId")
+
+    val kept = parent.toSeq.flatMap(_.partitions).filter(p => keepFromParent(p.key))
+    val toWrite = if (keepFromParent.isEmpty) df
+      else df.filter(!col(partCol).isin(keepFromParent.toSeq: _*))
+
+    toWrite.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(dataDir.toString)
+
+    val written = writtenPartitions(df.sparkSession, dataDir, partCol, lineage, inputs)
+    val manifest = Manifest(table, partCol, snapId, parent.map(_.snapshot).getOrElse(-1L),
+      seq, inputs, (written ++ kept).sortBy(_.key))
+    writeManifest(base, table, manifest)
+    manifest
+  }
+
+  private def writtenPartitions(spark: SparkSession, dataDir: Path, partCol: String,
+                                lineage: Map[String, Seq[String]], inputs: Seq[String]): Seq[PartitionMeta] = {
+    if (!Files.exists(dataDir)) return Nil
+    Files.list(dataDir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$partCol="))
+      .toSeq.map { p =>
+        val key = p.getFileName.toString.stripPrefix(s"$partCol=")
+        val rows = spark.read.parquet(p.toString).count()
+        PartitionMeta(key, p.toString, rows, dirBytes(p),
+          lineage.getOrElse(key, inputs))
+      }
+  }
+
+  private def writeManifest(base: String, table: String, m: Manifest): Unit = {
+    val dir = manifestDir(base, table)
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve(s"snapshot-${m.snapshot}.json"), manifestJson(m))
+  }
+
+  /** Resume an interrupted commit: partitions whose directories already
+    * exist under the (uncommitted) snapshot dir are kept as-is; the rest
+    * are computed from `df` and written. Produces the manifest the original
+    * commit would have produced.
+    */
+  def resume(df: DataFrame, base: String, table: String, partCol: String,
+             inputs: Seq[String] = Nil, seq: Long = 0L): Manifest = {
+    val parent = latest(base, table)
+    val snapId = parent.map(_.snapshot + 1).getOrElse(0L)
+    val dataDir = Paths.get(base, table, "data", s"snapshot=$snapId")
+    val existing: Set[String] =
+      if (!Files.exists(dataDir)) Set.empty
+      else Files.list(dataDir).iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$partCol="))
+        .map(_.getFileName.toString.stripPrefix(s"$partCol=")).toSet
+
+    val missing = df.filter(!col(partCol).isin(existing.toSeq: _*))
+    missing.write.mode(SaveMode.Append).partitionBy(partCol).parquet(dataDir.toString)
+
+    val manifest = Manifest(table, partCol, snapId, parent.map(_.snapshot).getOrElse(-1L),
+      seq, inputs, writtenPartitions(df.sparkSession, dataDir, partCol, Map.empty, inputs).sortBy(_.key))
+    writeManifest(base, table, manifest)
+    manifest
+  }
+
+  def read(spark: SparkSession, base: String, table: String): DataFrame = {
+    val m = latest(base, table).getOrElse(sys.error(s"no snapshot for $table"))
+    val dfs = m.partitions.map { p =>
+      // partitionBy strips the partition column from the data files;
+      // restore it from the manifest key (string-typed partition columns)
+      spark.read.parquet(p.path).withColumn(m.partCol, lit(p.key))
+    }
+    dfs.reduce(_ unionByName _)
+  }
+
+  /** Keyed MERGE (upsert + delete) producing a new snapshot — the diff
+    * replication semantics (add/mod are upserts, del removes; applied in
+    * sequence order, seq recorded in the manifest like `int/seq/<name>`).
+    * Only partitions containing changed keys are rewritten; untouched
+    * partitions are referenced from the parent.
+    */
+  def merge(spark: SparkSession, base: String, table: String, partCol: String,
+            keyCol: String, upserts: DataFrame, deleteKeys: DataFrame, seq: Long): Manifest = {
+    val current = read(spark, base, table)
+    // affected = target partitions of upserts + current partitions of
+    // deleted keys + current partitions of upserted keys (a key moving
+    // across partitions must rewrite its *old* partition too)
+    val affected = upserts.select(partCol)
+      .union(current.join(deleteKeys, Seq(keyCol), "left_semi").select(partCol))
+      .union(current.join(upserts.select(keyCol), Seq(keyCol), "left_semi").select(partCol))
+      .distinct().collect().map(_.get(0).toString).toSet
+
+    val untouchedKeys = latest(base, table).get.partitions.map(_.key).toSet -- affected
+    val merged = current
+      .join(deleteKeys, Seq(keyCol), "left_anti")
+      .join(upserts.select(keyCol), Seq(keyCol), "left_anti")
+      .unionByName(upserts)
+    commit(merged, base, table, partCol, inputs = Seq(s"changeset-seq-$seq"),
+      keepFromParent = untouchedKeys, seq = seq)
+  }
+}

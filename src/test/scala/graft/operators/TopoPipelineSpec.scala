@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.geom.Jts
+import graft.sources.Fixtures
+
+class TopoPipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  def sq(x0: Double, y0: Double, x1: Double, y1: Double,
+         midpoints: Boolean = false): org.locationtech.jts.geom.Polygon = {
+    val base = IndexedSeq((x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0))
+    val ring = if (!midpoints) base
+    else base.sliding(2).flatMap { case Seq(a, b) =>
+      Seq(a, ((a._1 + b._1) / 2, (a._2 + b._2) / 2))
+    }.toIndexedSeq :+ base.head
+    Jts.polygon(ring)
+  }
+
+  def features(geoms: (Long, org.locationtech.jts.geom.Geometry)*) =
+    geoms.map { case (id, g) => (id, Jts.toWkb(g)) }.toDF("objId", "wkb")
+      .withColumn("bbox", graft.functions.GeomExpressions.st_envelope(col("wkb")))
+
+  test("canonical TopoJSON example: two adjacent squares -> 3 arcs, shared arc reused") {
+    val fs = features(1L -> sq(0, 0, 1, 1), 2L -> sq(1, 0, 2, 1))
+    val topo = TopoPipeline.topology(fs, 0, 0)
+    assert(topo.arcs.count() == 3, "A-only boundary, shared border, B-only boundary")
+    val uses = topo.uses.select("objId", "arcId", "reversed")
+      .as[(Long, Long, Boolean)].collect()
+    assert(uses.length == 4, "2 arcs per square")
+    val shared = uses.groupBy(_._2).filter(_._2.length == 2).keys.toSeq
+    assert(shared.length == 1, "exactly one shared arc")
+    val sharedUses = uses.filter(_._2 == shared.head)
+    assert(sharedUses.map(_._3).toSet == Set(true, false),
+      "shared border used forward by one object and reversed by the other")
+  }
+
+  test("junction detection: isolated ring has no junctions, one closed arc") {
+    val fs = features(1L -> sq(0, 0, 1, 1), 2L -> sq(5, 5, 6, 6))
+    val topo = TopoPipeline.topology(fs, 0, 0)
+    assert(topo.arcs.count() == 2)
+    val pts = topo.arcs.select("pts").as[Seq[(Double, Double)]].collect()
+    pts.foreach(p => assert(p.head == p.last, "closed arcs"))
+  }
+
+  test("per-arc DP simplification pins junctions: shared border stays shared") {
+    val fs = features(1L -> sq(0, 0, 1, 1, midpoints = true), 2L -> sq(1, 0, 2, 1, midpoints = true))
+    val topo = TopoPipeline.topology(fs, simplifyDigits = 1, quantize = 0) // tol 0.1 removes midpoints
+    val arcs = topo.arcs.select("pts").as[Seq[(Double, Double)]].collect()
+    // collinear midpoints removed everywhere, junction endpoints kept
+    arcs.foreach { a =>
+      a.foreach { case (x, y) =>
+        assert(x == math.rint(x) && y == math.rint(y), s"midpoint survived: ($x,$y) in $a") }
+    }
+    // topology preserved: reconstructing still yields adjacent polygons
+    val rec = Export.reconstruct(topo).as[(Long, Array[Byte])].collect().toMap
+    val g1 = Jts.fromWkb(rec(1L)); val g2 = Jts.fromWkb(rec(2L))
+    assert(g1.getArea == 1.0 && g2.getArea == 1.0)
+    assert(g1.intersection(g2).getLength == 1.0, "shared border intact")
+  }
+
+  test("reconstruct round-trips geometry without simplification") {
+    val fs = features(1L -> sq(0, 0, 1, 1), 2L -> sq(1, 0, 2, 1))
+    val topo = TopoPipeline.topology(fs, 0, 0)
+    val rec = Export.reconstruct(topo).as[(Long, Array[Byte])].collect().toMap
+    assert(Jts.fromWkb(rec(1L)).norm().equalsExact(sq(0, 0, 1, 1).norm()))
+    assert(Jts.fromWkb(rec(2L)).norm().equalsExact(sq(1, 0, 2, 1).norm()))
+  }
+
+  test("quantization: deltas decode to grid coords within transform bounds") {
+    val fs = features(1L -> sq(0, 0, 1, 1), 2L -> sq(1, 0, 2, 1))
+    val topo = TopoPipeline.topology(fs, 0, quantize = 1e4)
+    val (kx, ky, x0, y0) = topo.transform.get
+    val q = topo.arcsQ.get.select("qpts").as[Seq[(Int, Int)]].collect()
+    q.foreach { deltas =>
+      var x = 0; var y = 0
+      deltas.zipWithIndex.foreach { case ((dx, dy), i) =>
+        if (i == 0) { x = dx; y = dy } else { x += dx; y += dy }
+        assert(x >= 0 && x <= 9999 && y >= 0 && y <= 9999)
+        // decoded coordinate lands back on an original vertex
+        val lon = x / kx + x0; val lat = y / ky + y0
+        assert(math.abs(lon - math.rint(lon)) < 1e-3 && math.abs(lat - math.rint(lat)) < 1e-3)
+      }
+    }
+  }
+
+  test("water clip subtracts intersecting water, leaves others untouched") {
+    val fs = features(1L -> sq(0, 0, 2, 2), 2L -> sq(10, 10, 11, 11))
+    val water = Seq((1L, Jts.toWkb(sq(-1, -1, 1, 1)))).toDF("id", "wkb")
+    val clipped = TopoPipeline.clipWater(fs, water, 0)
+      .select("objId", "wkb").as[(Long, Array[Byte])].collect().toMap
+    assert(math.abs(Jts.fromWkb(clipped(1L)).getArea - 3.0) < 1e-12) // 4 - 1 overlap
+    assert(Jts.fromWkb(clipped(2L)).getArea == 1.0)
+  }
+
+  test("greedy slicer reproduces reference arithmetic (phantom origin start)") {
+    // three objects: centers per the bb[0]+bb[2]/2 quirk
+    val objs = Seq(
+      (1L, 0.0, 0.0, 1.0, 1.0, 6L),   // center (0.5, 0.5)
+      (2L, 10.0, 0.0, 11.0, 1.0, 6L), // center (15.5, 0.5)  [quirk: 10+11/2]
+      (3L, 0.0, 10.0, 1.0, 11.0, 6L)  // center (0.5, 15.5)
+    ).toDF("objId", "minx", "miny", "maxx", "maxy", "nPoints")
+    val s = TopoPipeline.slices(objs, pointLimit = 10)
+    // first pick: nearest to (0,0) = obj 1; pointCount 6 < 10 -> second pick
+    // from mean((0,0),(0.5,0.5)): obj with min distance among 2,3
+    val bySlice = s.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(s.toMap.apply(1L) == 0)
+    assert(bySlice(0).size == 2, "slice 0 holds two objects (6+6 >= 10 stops)")
+    assert(bySlice(1).size == 1)
+  }
+
+  test("export layer end-to-end over fixture polygons") {
+    val polys = Ingest.polygons(spark, Fixtures.nodesDf(spark), Fixtures.waysDf(spark),
+      Fixtures.relationsDf(spark), Fixtures.blacklist)
+    val water = Ingest.waterPolygons(spark, Fixtures.waterDf(spark))
+    val curated = Seq(100L, 101L, 102L, 103L, 104L)
+    val res = Export.layer(polys, water, "countries", curated,
+      simplifyDigits = 3, quantize = 1e6, pointLimit = 20)
+    assert(res.topo.objects.count() == 5)
+    assert(res.slices.map(_._1).toSet == curated.toSet)
+    assert(res.topo.arcsQ.get.count() == res.topo.arcs.count())
+    // names enrichment
+    val named = Export.withNames(polys, Fixtures.relationsDf(spark), Seq("nl", "en"))
+    val row = named.filter(col("relId") === 100L).select("name", "name_nl").head()
+    assert(row.getString(0) == "country_brussels" && row.getString(1) == "land_brussels")
+  }
+}

@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SnapshotSpec extends SparkTestBase {
+  import spark.implicits._
+
+  def freshBase(): String = Files.createTempDirectory("graft_snap").toString
+
+  def docs() = Fixtures.documents(spark, sf0001).select("doc_id", "lang", "text")
+
+  test("commit writes manifest with per-partition rows/bytes/lineage") {
+    val base = freshBase()
+    val m = SnapshotTable.commit(docs(), base, "documents", "lang",
+      inputs = Seq("sf0.001/documents.parquet"))
+    assert(m.snapshot == 0 && m.parent == -1)
+    assert(m.partitions.nonEmpty)
+    val total = m.partitions.map(_.rows).sum
+    assert(total == docs().count())
+    m.partitions.foreach { p =>
+      assert(p.bytes > 0 && p.rows > 0)
+      assert(p.lineage == Seq("sf0.001/documents.parquet"))
+    }
+    // read back
+    val back = SnapshotTable.read(spark, base, "documents")
+    assert(back.count() == docs().count())
+    // manifest JSON round-trip
+    val reloaded = SnapshotTable.latest(base, "documents").get
+    assert(reloaded == m)
+  }
+
+  test("resume after a simulated crash completes only missing partitions; result identical") {
+    val base1 = freshBase(); val base2 = freshBase()
+    val full = SnapshotTable.commit(docs(), base1, "documents", "lang")
+
+    // crash simulation: only two partitions got written, no manifest
+    val dataDir = Paths.get(base2, "documents", "data", "snapshot=0")
+    docs().filter($"lang".isin("en", "de"))
+      .write.partitionBy("lang").parquet(dataDir.toString)
+    assert(SnapshotTable.latest(base2, "documents").isEmpty)
+
+    val resumed = SnapshotTable.resume(docs(), base2, "documents", "lang")
+    assert(resumed.partitions.map(p => (p.key, p.rows)).sortBy(_._1) ==
+      full.partitions.map(p => (p.key, p.rows)).sortBy(_._1))
+    val a = SnapshotTable.read(spark, base1, "documents")
+      .orderBy("doc_id").collect()
+    val b = SnapshotTable.read(spark, base2, "documents")
+      .orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("merge: upserts + deletes rewrite only affected partitions, seq recorded") {
+    val base = freshBase()
+    SnapshotTable.commit(docs(), base, "documents", "lang")
+    val before = SnapshotTable.latest(base, "documents").get
+
+    val upserts = Seq((9999L, "en", "brand new doc"), (0L, "en", "rewritten doc 0"))
+      .toDF("doc_id", "lang", "text")
+    val deletes = Seq(1L).toDF("doc_id") // doc 1 is zh
+    val m = SnapshotTable.merge(spark, base, "documents", "lang", "doc_id",
+      upserts, deletes, seq = 42L)
+    assert(m.seq == 42L && m.snapshot == before.snapshot + 1)
+
+    val after = SnapshotTable.read(spark, base, "documents")
+    assert(after.filter($"doc_id" === 9999L).count() == 1)
+    assert(after.filter($"doc_id" === 0L).select("text").as[String].head() == "rewritten doc 0")
+    assert(after.filter($"doc_id" === 1L).count() == 0)
+    assert(after.count() == docs().count() + 1 - 1)
+
+    // untouched partitions referenced from parent (same path, not rewritten).
+    // doc 0 is originally 'es' and moves to 'en', so es is rewritten too.
+    val beforePaths = before.partitions.map(p => p.key -> p.path).toMap
+    val changedLangs = Set("en", "zh", "es")
+    m.partitions.filterNot(p => changedLangs(p.key)).foreach { p =>
+      assert(beforePaths(p.key) == p.path, s"partition ${p.key} should be carried over")
+    }
+    m.partitions.filter(p => changedLangs(p.key)).foreach { p =>
+      assert(beforePaths(p.key) != p.path, s"partition ${p.key} should be rewritten")
+    }
+  }
+
+  test("structured-streaming ingestion: change files applied in sequence order via foreachBatch") {
+    val base = freshBase()
+    SnapshotTable.commit(docs(), base, "documents", "lang")
+
+    // two sequence-numbered change batches (the .osc.gz analogue)
+    val changeDir = Files.createTempDirectory("graft_changes")
+    Seq((0L, "upsert", 5000L, "en", "change batch zero"))
+      .toDF("seq", "op", "doc_id", "lang", "text")
+      .write.parquet(changeDir.resolve("batch-0").toString)
+    Seq((1L, "delete", 5000L, "en", ""), (1L, "upsert", 5001L, "de", "second batch"))
+      .toDF("seq", "op", "doc_id", "lang", "text")
+      .write.parquet(changeDir.resolve("batch-1").toString)
+
+    val schema = "seq LONG, op STRING, doc_id LONG, lang STRING, text STRING"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(changeDir.toString + "/batch-*")
+
+    val query = stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("seq").distinct().orderBy("seq").collect().map(_.getLong(0)).foreach { s =>
+          val b = batch.filter(col("seq") === s)
+          SnapshotTable.merge(spark, base, "documents", "lang", "doc_id",
+            b.filter($"op" === "upsert").select("doc_id", "lang", "text"),
+            b.filter($"op" === "delete").select("doc_id"), seq = s)
+        }
+      }
+      .start()
+    query.awaitTermination()
+
+    val m = SnapshotTable.latest(base, "documents").get
+    assert(m.seq == 1L, "last applied sequence checkpointed")
+    val after = SnapshotTable.read(spark, base, "documents")
+    assert(after.filter($"doc_id" === 5000L).count() == 0, "upserted then deleted")
+    assert(after.filter($"doc_id" === 5001L).count() == 1)
+  }
+}

@@ -19,20 +19,77 @@ import graft.cells.{Cell, Coverer}
   */
 object PreparedCache {
   private val MaxEntries = 1024
-  private val cache = new java.util.LinkedHashMap[java.nio.ByteBuffer, org.locationtech.jts.geom.prep.PreparedGeometry](64, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[java.nio.ByteBuffer, org.locationtech.jts.geom.prep.PreparedGeometry]): Boolean =
-      size() > MaxEntries
-  }
-  def get(wkb: Array[Byte]): org.locationtech.jts.geom.prep.PreparedGeometry = {
+  private type PG = org.locationtech.jts.geom.prep.PreparedGeometry
+
+  // Caches are THREAD-LOCAL: no lock contention on the per-row hot path
+  // (a global synchronized LRU serializes all executor threads), and JTS
+  // PreparedGeometry lazily builds its internal index on first use, which
+  // is not safe under concurrent first probes.
+  private def lru[K]: java.util.LinkedHashMap[K, PG] =
+    new java.util.LinkedHashMap[K, PG](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, PG]): Boolean =
+        size() > MaxEntries
+    }
+  private val byBytes = ThreadLocal.withInitial[java.util.LinkedHashMap[java.nio.ByteBuffer, PG]](() => lru)
+  private val byKey = ThreadLocal.withInitial[java.util.LinkedHashMap[java.lang.Long, PG]](() => lru)
+
+  def get(wkb: Array[Byte]): PG = {
+    val cache = byBytes.get()
     val key = java.nio.ByteBuffer.wrap(wkb)
-    cache.synchronized {
-      val hit = cache.get(key)
-      if (hit != null) hit
-      else {
-        val prepared = Jts.prepare(Jts.fromWkb(wkb))
-        cache.put(key, prepared)
-        prepared
-      }
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val prepared = Jts.prepare(Jts.fromWkb(wkb))
+      cache.put(key, prepared)
+      prepared
+    }
+  }
+
+  // Point-in-area locators: avoids allocating a JTS Point per probe row
+  // (IndexedPointInAreaLocator.locate takes a raw Coordinate) — the PIP
+  // refine hot path. Not thread-safe → thread-local like the rest.
+  private val byKeyLocator = ThreadLocal.withInitial[java.util.LinkedHashMap[java.lang.Long, org.locationtech.jts.algorithm.locate.IndexedPointInAreaLocator]](() =>
+    new java.util.LinkedHashMap[java.lang.Long, org.locationtech.jts.algorithm.locate.IndexedPointInAreaLocator](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[java.lang.Long, org.locationtech.jts.algorithm.locate.IndexedPointInAreaLocator]): Boolean =
+        size() > MaxEntries
+    })
+
+  def getLocator(id: Long, wkb: Array[Byte]): org.locationtech.jts.algorithm.locate.IndexedPointInAreaLocator = {
+    val cache = byKeyLocator.get()
+    val key = java.lang.Long.valueOf(compositeKey(id, wkb))
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val locator = new org.locationtech.jts.algorithm.locate.IndexedPointInAreaLocator(Jts.fromWkb(wkb))
+      cache.put(key, locator)
+      locator
+    }
+  }
+
+  private def compositeKey(id: Long, wkb: Array[Byte]): Long = {
+    var k = id * 0x9e3779b97f4a7c15L + wkb.length
+    if (wkb.length >= 16) {
+      k ^= java.lang.Long.rotateLeft(wkb(8).toLong & 0xff, 8)
+      k ^= java.lang.Long.rotateLeft(wkb(wkb.length / 2).toLong & 0xff, 24)
+      k ^= java.lang.Long.rotateLeft(wkb(wkb.length - 8).toLong & 0xff, 40)
+    }
+    k
+  }
+
+  /** id-keyed variant: O(1) lookup regardless of geometry size (the
+    * reference's LRU is keyed by relation id the same way,
+    * env.go:103-111). The key folds in length + sampled bytes so a
+    * geometry update under the same id can't serve a stale entry.
+    */
+  def getKeyed(id: Long, wkb: Array[Byte]): PG = {
+    val cache = byKey.get()
+    val key = java.lang.Long.valueOf(compositeKey(id, wkb))
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val prepared = Jts.prepare(Jts.fromWkb(wkb))
+      cache.put(key, prepared)
+      prepared
     }
   }
 }
@@ -58,6 +115,37 @@ case class STContainsPoint(first: Expression, second: Expression, third: Express
       .contains(Jts.point(lon.asInstanceOf[Double], lat.asInstanceOf[Double]))
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression = copy(a, b, c)
   override def prettyName: String = "st_contains_point"
+}
+
+/** ST_ContainsPointKeyed(key, wkb, lon, lat) — like STContainsPoint but the
+  * prepared-geometry cache is keyed by a caller-supplied long id (the
+  * polygon's relId), exactly the reference's LRU-by-relation-id design
+  * (env.go:673-693). Avoids hashing the WKB payload per probe row — the
+  * difference between O(1) and O(polygon bytes) per page at scale.
+  */
+case class STContainsPointKeyed(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: InternalRow): Any = {
+    // hand-rolled (no Seq allocation) — this runs once per join candidate
+    val k = children(0).eval(input)
+    val w = children(1).eval(input)
+    val lon = children(2).eval(input)
+    val lat = children(3).eval(input)
+    if (k == null || w == null || lon == null || lat == null) null
+    else {
+      // IndexedPointInAreaLocator on a raw Coordinate: no Point object per
+      // row; INTERIOR matches JTS/GEOS contains() semantics for points
+      // (boundary points are NOT contained)
+      val loc = PreparedCache.getLocator(k.asInstanceOf[Long], w.asInstanceOf[Array[Byte]])
+        .locate(new org.locationtech.jts.geom.Coordinate(
+          lon.asInstanceOf[Double], lat.asInstanceOf[Double]))
+      loc == org.locationtech.jts.geom.Location.INTERIOR
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
+  override def prettyName: String = "st_contains_point_keyed"
 }
 
 /** ST_Intersects(wkbA, wkbB) — prepared on the left side (water clip test,
@@ -143,11 +231,16 @@ case class STCellAncestors(children: Seq[Expression])
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = children.exists(_.nullable)
   override def eval(input: InternalRow): Any = {
-    val vs = children.map(_.eval(input))
-    if (vs.contains(null)) null
+    val lon = children(0).eval(input)
+    val lat = children(1).eval(input)
+    val minL = children(2).eval(input)
+    val maxL = children(3).eval(input)
+    if (lon == null || lat == null || minL == null || maxL == null) null
     else {
-      val leaf = Cell.leaf(vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double])
-      new GenericArrayData(Cell.ancestors(leaf, vs(2).asInstanceOf[Int], vs(3).asInstanceOf[Int]))
+      val leaf = Cell.leaf(lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+      // primitive array, no per-element boxing
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+        Cell.ancestors(leaf, minL.asInstanceOf[Int], maxL.asInstanceOf[Int]))
     }
   }
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = copy(cs)
@@ -207,6 +300,8 @@ object GeomExpressions {
   def st_point(lon: Column, lat: Column): Column = col(STPoint(expr(lon), expr(lat)))
   def st_contains_point(wkb: Column, lon: Column, lat: Column): Column =
     col(STContainsPoint(expr(wkb), expr(lon), expr(lat)))
+  def st_contains_point_keyed(key: Column, wkb: Column, lon: Column, lat: Column): Column =
+    col(STContainsPointKeyed(Seq(expr(key), expr(wkb), expr(lon), expr(lat))))
   def st_intersects(a: Column, b: Column): Column = col(STIntersects(expr(a), expr(b)))
   def st_difference(a: Column, b: Column): Column = col(STDifference(expr(a), expr(b)))
   def st_buffer0(a: Column): Column = col(STBuffer0(expr(a)))

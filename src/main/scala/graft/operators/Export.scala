@@ -64,6 +64,64 @@ object Export {
 
   case class LayerResult(layer: String, topo: TopoPipeline.Topology, slices: Seq[(Long, Int)])
 
+  /** S10: the TopoJSON file sink — one `NNNN.topojson` per slice
+    * (export.go:101-114). Arc indices follow the TopoJSON convention:
+    * forward i, reversed ^i. Slice files subset objects and renumber the
+    * referenced arcs (the topo.Filter step, export.go:95-99); bounding
+    * boxes are dropped.
+    */
+  def writeSlices(result: LayerResult, outDir: String): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    val spark = result.topo.uses.sparkSession
+    import spark.implicits._
+
+    val arcsQ = result.topo.arcsQ.getOrElse(result.topo.arcs)
+    val arcPts: Map[Long, Seq[(Int, Int)]] = result.topo.arcsQ match {
+      case Some(q) => q.as[(Long, Seq[(Int, Int)])].collect().toMap
+      case None => result.topo.arcs.as[(Long, Seq[(Double, Double)])].collect()
+        .map { case (id, pts) => id -> pts.map(p => (p._1.toInt, p._2.toInt)) }.toMap
+    }
+    val uses = result.topo.uses
+      .as[(Long, Int, Int, Int, Long, Boolean)].collect()
+      .groupBy(_._1)
+
+    val dir = Paths.get(outDir, result.layer)
+    Files.createDirectories(dir)
+    val transformJson = result.topo.transform.map { case (kx, ky, x0, y0) =>
+      s""""transform":{"scale":[${1 / kx},${1 / ky}],"translate":[$x0,$y0]},"""
+    }.getOrElse("")
+
+    result.slices.groupBy(_._2).toSeq.sortBy(_._1).map { case (slice, members) =>
+      val objIds = members.map(_._1).sorted
+      // renumber arcs used by this slice
+      val sliceArcIds = objIds.flatMap(id => uses(id).map(_._5)).distinct.sorted
+      val renumber = sliceArcIds.zipWithIndex.toMap
+      val arcsJson = sliceArcIds.map { aid =>
+        arcPts(aid).map(p => s"[${p._1},${p._2}]").mkString("[", ",", "]")
+      }.mkString("[", ",", "]")
+      val objectsJson = objIds.map { id =>
+        val byPoly = uses(id).groupBy(_._2).toSeq.sortBy(_._1)
+        def ringArcs(segs: Array[(Long, Int, Int, Int, Long, Boolean)]): String =
+          segs.sortBy(_._4).map { u =>
+            val i = renumber(u._5)
+            if (u._6) ~i else i
+          }.mkString("[", ",", "]")
+        val polysJson = byPoly.map { case (_, ringsOfPoly) =>
+          ringsOfPoly.groupBy(_._3).toSeq.sortBy(_._1)
+            .map { case (_, segs) => ringArcs(segs) }.mkString("[", ",", "]")
+        }
+        val (gtype, arcs) =
+          if (polysJson.length == 1) ("Polygon", polysJson.head)
+          else ("MultiPolygon", polysJson.mkString("[", ",", "]"))
+        s""""$id":{"type":"$gtype","arcs":$arcs,"id":"$id"}"""
+      }.mkString(",")
+      val json = s"""{"type":"Topology",$transformJson"objects":{$objectsJson},"arcs":$arcsJson}"""
+      val path = dir.resolve(f"$slice%04d.topojson")
+      Files.writeString(path, json)
+      path.toString
+    }
+  }
+
   /** Run the full export for one layer: curated ids → simplify →
     * clip water → quantized topology → slices.
     */

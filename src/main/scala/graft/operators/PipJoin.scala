@@ -51,7 +51,36 @@ object PipJoin {
     pages
       .withColumn("cellId", explode(st_cell_ancestors(col("lon"), col("lat"), minL, maxL)))
       .join(broadcast(coversWithGeom), Seq("cellId"))
-      .filter(st_contains_point(col("wkb"), col("lon"), col("lat")))
+      .filter(st_contains_point_keyed(col("relId"), col("wkb"), col("lon"), col("lat")))
+      .select((Seq("url", "layer", "relId") ++ extraPageCols).map(col): _*)
+  }
+
+  /** Broadcast-index strategy: the hot path for fact-side scans. The whole
+    * stab+refine runs inside one probe expression over a broadcast
+    * PipIndex, emitting only true matches — ~2-3 output rows per matched
+    * page instead of ~11 ancestor join rows, which removes the dominant
+    * memory traffic at scale. Identical rows to `matches` (tested).
+    */
+  def matchesIndexed(pages: DataFrame, covers: DataFrame, polygons: DataFrame,
+                     extraPageCols: Seq[String] = Nil): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val coverArr = covers.select("relId", "layer", "cellId")
+      .as[(Long, String, Long)].collect()
+    val polyMap = polygons.select("relId", "wkb").as[(Long, Array[Byte])].collect().toMap
+    val index = PipIndex.build(coverArr, polyMap)
+    val bc = spark.sparkContext.broadcast(index)
+    val ordinals = index.polys.zipWithIndex
+      .map { case (p, i) => (i, p.relId, p.layer) }.toSeq
+      .toDF("ordinal", "relId", "layer")
+
+    val probe = org.apache.spark.sql.graft.Bridge.column(PipProbe(
+      org.apache.spark.sql.graft.Bridge.expression(col("lon")),
+      org.apache.spark.sql.graft.Bridge.expression(col("lat")), bc))
+
+    pages
+      .withColumn("ordinal", explode(probe))
+      .join(broadcast(ordinals), Seq("ordinal"))
       .select((Seq("url", "layer", "relId") ++ extraPageCols).map(col): _*)
   }
 
@@ -97,7 +126,7 @@ object PipJoin {
       .filter(col("leaf").between(
         expr("cellId - (cellId & -cellId) + 1"), expr("cellId + (cellId & -cellId) - 1")))
       .join(polygons.select(col("relId"), col("wkb")), Seq("relId"))
-      .filter(st_contains_point(col("wkb"), col("lon"), col("lat")))
+      .filter(st_contains_point_keyed(col("relId"), col("wkb"), col("lon"), col("lat")))
       .select("url", "layer", "relId")
       .dropDuplicates("url", "layer", "relId")
   }

@@ -31,11 +31,30 @@ object Tiling {
       .withColumn("cellId", st_cell_at(col("lon"), col("lat"), z))
   }
 
-  /** Per-tile aggregation (tile = groupBy quadkey cell). */
+  /** Per-tile aggregation (tile = groupBy quadkey cell). Distinct-language
+    * counting uses HLL (approx_count_distinct): an exact countDistinct
+    * defeats map-side partial aggregation and shuffles every input row —
+    * at 10^12 rows the shuffle, not the agg, becomes the job. HLL partials
+    * reduce the shuffle to one sketch per (tile, map task).
+    */
   def tileCounts(pages: DataFrame, z: Int): DataFrame =
     assign(pages, z)
       .groupBy("z", "tx", "ty")
-      .agg(count(lit(1)).as("n_pages"), countDistinct(col("lang")).as("n_langs"))
+      .agg(count(lit(1)).as("n_pages"), approx_count_distinct(col("lang")).as("n_langs"))
+
+  /** Hilbert-ordered spatial range partitioning: repartitionByRange on the
+    * point's Hilbert cell id clusters spatially-near rows into the same
+    * partitions (the distributed analogue of the reference's RocksDB key
+    * clustering) — downstream per-tile work and parquet min/max skipping
+    * benefit from the locality.
+    */
+  def spatialRepartition(pages: DataFrame, level: Int, numPartitions: Int): DataFrame = {
+    import graft.functions.GeomExpressions._
+    pages
+      .withColumn("__hk", st_cell_at(col("lon"), col("lat"), level))
+      .repartitionByRange(numPartitions, col("__hk"))
+      .drop("__hk")
+  }
 
   /** Vector→raster: polygon → the complete set of level-`level` cells
     * intersecting it (grid cover, exact level). Output (relId, layer,

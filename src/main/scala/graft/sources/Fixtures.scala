@@ -67,6 +67,10 @@ object Fixtures {
       .select("doc_id", "url", "warc_ts", "warc_epoch", "html", "text", "lang", "lon", "lat")
     if (replicate <= 1) base
     else base
+      // spread the base docs before the replica-explode: the source is a
+      // single parquet split, and without this the explode (and everything
+      // narrow after it) runs in one task regardless of cores
+      .repartition(spark.sparkContext.defaultParallelism * 2, col("doc_id"))
       .withColumn("rep", explode(sequence(lit(0), lit(replicate - 1))))
       .withColumn("url", concat(col("url"), lit("/"), col("rep")))
       .drop("rep")

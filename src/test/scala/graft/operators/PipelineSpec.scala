@@ -71,14 +71,16 @@ class PipelineSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
-  test("partitioned+salted PIP join returns identical rows to broadcast") {
+  test("partitioned+salted and broadcast-index PIP joins return identical rows to broadcast") {
     val a = PipJoin.matches(pages, covers, polys)
       .select("url", "layer", "relId").as[(String, String, Long)].collect().toSet
     val b = PipJoin.matchesPartitioned(pages, covers, polys, joinLevel = 8, salt = 4)
       .as[(String, String, Long)].collect().toSet
     val c = PipJoin.matchesPartitioned(pages, covers, polys, joinLevel = 11, salt = 1)
       .as[(String, String, Long)].collect().toSet
-    assert(a == b && a == c)
+    val d = PipJoin.matchesIndexed(pages, covers, polys)
+      .as[(String, String, Long)].collect().toSet
+    assert(a == b && a == c && a == d)
   }
 
   test("completeness anti-join: missing = pages not matched in all 3 layers") {

@@ -10,7 +10,7 @@ package graft
 object ScalingBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "2000").toInt
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "20000").toInt
     val low = sys.env.getOrElse("SPARK_GRAFT_CPUS_LOW", "8")
     val high = sys.env.getOrElse("SPARK_GRAFT_CPUS_HIGH", "32")
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt

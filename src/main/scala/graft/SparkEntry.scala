@@ -106,7 +106,8 @@ object SparkEntry {
     "q_window_delta" ->
       """SELECT l_orderkey, l_linenumber,
         |       round(l_extendedprice - lag(l_extendedprice, 1, 0.0)
-        |             OVER (PARTITION BY l_orderkey ORDER BY l_linenumber), 2) AS delta
+        |             OVER (PARTITION BY l_orderkey
+        |                   ORDER BY l_linenumber, l_extendedprice), 2) AS delta
         |FROM lineitem""".stripMargin,
 
     "q_merge_incremental" ->
@@ -279,6 +280,13 @@ object SparkEntry {
         import s.implicits._
         topoCountries(s).slices.toDF("objId", "slice")
       }),
+      // token counting (whitespace + BPE-ish regex)
+      "q_token_counts" -> ((s, dir) => TextOps.tokenCounts(Fixtures.documents(s, dir))),
+      // embedding near-dup: exact baseline (oracle-checked) + IVF-blocked
+      "q_embed_pairs" -> ((s, dir) =>
+        Similarity.embeddingDedupExact(s.read.parquet(s"$dir/embeddings.parquet"), 0.4)),
+      "q_embed_pairs_blocked" -> ((s, dir) =>
+        Similarity.embeddingDedupBlocked(s.read.parquet(s"$dir/embeddings.parquet"), 0.4)),
       // multimodal plumbing (decode step stubbed deterministically)
       "q_media_meta" -> ((s, dir) => Multimodal.decodeMeta(Fixtures.pages(s, dir))),
       "q_media_frames" -> ((s, dir) => Multimodal.sampleFrames(Fixtures.pages(s, dir)))
@@ -300,7 +308,13 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY q.query_id
         |                            ORDER BY round(list_cosine_similarity(q.qv, e.vec), 6) DESC, e.vec_id) AS rank
         |  FROM q CROSS JOIN emb e WHERE e.vec_id != q.query_id)
-        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM scored WHERE rank <= 5""".stripMargin)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM scored WHERE rank <= 5""".stripMargin,
+    "q_embed_pairs" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       round(list_cosine_similarity(a.vec, b.vec), 6) AS cos
+        |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.4""".stripMargin)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for engine-native geometry/sketch

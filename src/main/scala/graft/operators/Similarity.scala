@@ -40,6 +40,33 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact: all pairs with
+    * round(cos, 6) ≥ threshold (vec_a < vec_b). O(n²) — the correctness
+    * baseline; at scale use `embeddingDedupBlocked`.
+    */
+  def embeddingDedupExact(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val emb = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    emb.as("a").crossJoin(emb.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.vec"), col("b.vec")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup with IVF blocking: only pairs sharing a
+    * centroid list are compared — the linear-scale path (recall < 1 for
+    * pairs straddling list boundaries; validated against exact in tests).
+    */
+  def embeddingDedupBlocked(embeddings: DataFrame, threshold: Double,
+                            nCentroids: Int = 16): DataFrame = {
+    val assigned = ivfAssign(embeddings, nCentroids)
+    assigned.as("a").join(assigned.as("b"), Seq("centroid_id"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.vec"), col("b.vec")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** IVF index: nCentroids "centroids" are the embeddings of the lowest
     * vec_ids (deterministic, training-free); every vector is assigned to
     * its nearest centroid (one shuffle-free broadcast pass).

@@ -71,6 +71,32 @@ object TextOps {
     else grams.sliding(window).map(_.min).toArray.distinct
   }
 
+  /** BPE-ish tokenizer: the GPT-2-style pre-tokenization regex (published
+    * pattern: contractions, letter runs, digit runs, punctuation runs,
+    * whitespace) — the standard proxy for LLM token counting when the
+    * merges table isn't loaded.
+    */
+  private val bpePattern =
+    java.util.regex.Pattern.compile("""'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+""")
+
+  def bpeishTokenCount(text: String): Int = {
+    val m = bpePattern.matcher(text)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
+  /** Token counting table: whitespace tokens (SQL-shared arithmetic in
+    * qualitySql) + the BPE-ish regex count per document.
+    */
+  def tokenCounts(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, tokens(t).length.toLong, bpeishTokenCount(t).toLong) }
+      .toDF("doc_id", "n_tokens_ws", "n_tokens_bpe")
+  }
+
   def jaccard(a: Array[String], b: Array[String]): Double = {
     val sa = a.toSet; val sb = b.toSet
     if (sa.isEmpty && sb.isEmpty) 1.0

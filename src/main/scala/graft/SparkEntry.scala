@@ -141,7 +141,30 @@ object SparkEntry {
       """SELECT DISTINCT doc_id, lang FROM (
         |  SELECT doc_id, lang FROM documents WHERE lang = 'en'
         |  UNION ALL
-        |  SELECT doc_id, lang FROM documents WHERE doc_id % 7 = 0) u""".stripMargin
+        |  SELECT doc_id, lang FROM documents WHERE doc_id % 7 = 0) u""".stripMargin,
+
+    "q_except" ->
+      """SELECT doc_id FROM documents
+        |EXCEPT
+        |SELECT user_id AS doc_id FROM events""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT doc_id FROM documents
+        |INTERSECT
+        |SELECT user_id AS doc_id FROM events WHERE event_type = 'signup'""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       count(*) AS n,
+        |       CAST(round(sum(round(l_extendedprice * 100))) AS BIGINT) AS revenue_c
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT doc_id,
+        |       CAST(n_chars - (SELECT CAST(round(avg(n_chars)) AS BIGINT) FROM documents) AS BIGINT) AS chars_vs_avg
+        |FROM documents""".stripMargin
   )
 
   /** Spark-SQL dialect tweaks where the shared text can't be identical.

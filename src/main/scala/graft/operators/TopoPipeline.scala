@@ -106,8 +106,13 @@ object TopoPipeline {
       val n = open.length
       val jIdx = (0 until n).filter(i => jx.contains(ptKey(open(i))))
       val arcs: Seq[Seq[(Double, Double)]] =
-        if (jIdx.isEmpty) Seq(open :+ open.head)
-        else {
+        if (jIdx.isEmpty) {
+          // no junctions: one closed arc, rotated to its minimal vertex so
+          // identical rings dedup regardless of starting point (TopoJSON
+          // rotates isolated rings the same way)
+          val start = (0 until n).minBy(i => ptKey(open(i)))
+          Seq((0 until n).map(i => open((start + i) % n)) :+ open(start))
+        } else {
           val start = jIdx.head
           val rotated = (0 until n).map(i => open((start + i) % n)) :+ open(start)
           // split at junction positions within the rotated ring

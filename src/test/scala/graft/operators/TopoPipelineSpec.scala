@@ -61,6 +61,15 @@ class TopoPipelineSpec extends SparkTestBase {
     assert(g1.intersection(g2).getLength == 1.0, "shared border intact")
   }
 
+  test("identical isolated rings with different starting points share one arc") {
+    val ringA = IndexedSeq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0))
+    val ringB = IndexedSeq((1.0, 1.0), (0.0, 1.0), (0.0, 0.0), (1.0, 0.0), (1.0, 1.0)) // rotated
+    val fs = features(1L -> graft.geom.Jts.polygon(ringA), 2L -> graft.geom.Jts.polygon(ringB))
+    val topo = TopoPipeline.topology(fs, 0, 0)
+    assert(topo.arcs.count() == 1, "rotated identical rings must dedup to one arc")
+    assert(topo.uses.count() == 2)
+  }
+
   test("reconstruct round-trips geometry without simplification") {
     val fs = features(1L -> sq(0, 0, 1, 1), 2L -> sq(1, 0, 2, 1))
     val topo = TopoPipeline.topology(fs, 0, 0)

@@ -213,12 +213,18 @@ case class STEnvelope(child: Expression) extends UnaryExpression with CodegenFal
   override def prettyName: String = "st_envelope"
 }
 
-/** ST_CellAt(lon, lat, level) → Hilbert cell id. */
+/** ST_CellAt(lon, lat, level) → Hilbert cell id. Pure long math — fully
+  * codegen'd (stays inside whole-stage codegen; no fallback projection
+  * boundary around the tiling / partitioned-join key computation).
+  */
 case class STCellAt(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(lon: Any, lat: Any, level: Any): Any =
     Cell.cellAt(lon.asInstanceOf[Double], lat.asInstanceOf[Double], level.asInstanceOf[Int])
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, (lon, lat, lvl) => s"graft.cells.Cell.cellAt($lon, $lat, $lvl)")
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression = copy(a, b, c)
   override def prettyName: String = "st_cell_at"
 }

@@ -67,20 +67,47 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
-  /** IVF index: nCentroids "centroids" are the embeddings of the lowest
-    * vec_ids (deterministic, training-free); every vector is assigned to
-    * its nearest centroid (one shuffle-free broadcast pass).
+  /** IVF index: seeded with the embeddings of the lowest vec_ids, then
+    * refined by `iterations` Lloyd steps (assign → recompute means —
+    * normalized, deterministic: array-order summation, vec_id-stable
+    * tie-breaks). Assignment is a shuffle-free broadcast pass; the mean
+    * recomputation is one partial-aggregable groupBy per iteration.
     */
-  def ivfAssign(embeddings: DataFrame, nCentroids: Int): DataFrame = {
+  case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  def ivfAssign(embeddings: DataFrame, nCentroids: Int, iterations: Int = 2): DataFrame =
+    ivfIndex(embeddings, nCentroids, iterations).assigned
+
+  def ivfIndex(embeddings: DataFrame, nCentroids: Int, iterations: Int = 2): IvfIndex = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val emb = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-    val centroids = emb.orderBy("vec_id").limit(nCentroids)
+      .cache()
+
+    def assign(centroids: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id"))
+      emb.crossJoin(broadcast(centroids))
+        .withColumn("csim", cosine(col("vec"), col("cvec")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("vec"), col("centroid_id"))
+    }
+
+    var centroids = emb.orderBy("vec_id").limit(nCentroids)
       .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id"))
-    emb.crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("vec"), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("vec"), col("centroid_id"))
+    var assigned = assign(centroids)
+    for (_ <- 1 to iterations) {
+      // new centroid = elementwise mean of the list (id kept stable)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy("centroid_id", "dim").agg(avg("x").as("m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("centroid_id"), expr("transform(dm, p -> p.m)").as("cvec"))
+      centroids = means
+      assigned = assign(centroids)
+    }
+    IvfIndex(assigned, centroids)
   }
 
   /** IVF top-k: probe the `nProbe` nearest centroid lists per query, exact
@@ -89,9 +116,10 @@ object Similarity {
     */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
               nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val assigned = ivfAssign(embeddings, nCentroids).cache()
-    val centroids = assigned.filter(col("vec_id") === col("centroid_id"))
-      .select(col("centroid_id").as("c_id"), col("vec").as("cvec"))
+    val index = ivfIndex(embeddings, nCentroids)
+    val assigned = index.assigned.cache()
+    val centroids = index.centroids
+      .select(col("centroid_id").as("c_id"), col("cvec"))
     val queries = assigned.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
 

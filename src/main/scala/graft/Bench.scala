@@ -68,21 +68,39 @@ object Bench {
     val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "50").toInt
     val spark = session(cpus)
 
+    // Per-query status: a broken query must show up as an error in the
+    // bench output, never as a fast-and-fine timing.
+    case class QStat(name: String, secs: Double, rows: Long, error: Option[String])
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val (rows, err) =
+        try (fn(spark, sfDir).count(), None)
+        catch { case e: Throwable => (-1L, Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")) }
+      QStat(name, (System.nanoTime() - t0) / 1e9, rows, err)
     }
 
     headline(spark, sfDir, replicate) // warm pass (codegen + page cache)
     val (nPages, headlineSecs) = headline(spark, sfDir, replicate)
     val pagesPerSec = nPages / headlineSecs
 
-    val qs = (results :+ ("headline_pip_tiling" -> headlineSecs))
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum + headlineSecs
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = (results :+ QStat("headline_pip_tiling", headlineSecs, nPages, None))
+      .map { q =>
+        val err = q.error.map(jstr).getOrElse("null")
+        s"""${jstr(q.name)}:{"secs":${f"${q.secs}%.3f"},"rows":${q.rows},"error":$err}"""
+      }.mkString("{", ",", "}")
+    val nErrors = results.count(_.error.isDefined)
+    val total = results.map(_.secs).sum + headlineSecs
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
+      s""""query_errors":$nErrors,""" +
       s""""headline_pages":$nPages,"headline_pages_per_sec":${f"$pagesPerSec%.1f"},"sf":"$sfDir"}""")
+    if (nErrors > 0)
+      System.err.println(s"[bench] $nErrors queries FAILED: " +
+        results.filter(_.error.isDefined).map(q => s"${q.name}: ${q.error.get}").mkString("; "))
     spark.stop()
   }
 }

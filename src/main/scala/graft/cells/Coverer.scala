@@ -105,7 +105,12 @@ object Coverer {
   }
 
   /** Cover every polygon of a (multi)polygon WKB geometry — one cover per
-    * polygon like GeometryToCoverage (lookup.go:201-222), flattened.
+    * polygon like GeometryToCoverage (lookup.go:201-222), flattened and
+    * **normalized**: a cell whose ancestor is also in the (multi-polygon
+    * union) cover is dropped, so the remaining cells are pairwise disjoint.
+    * This keeps the PIP join's contract — at most one candidate row per
+    * (point, relation) — without any output-side dedup shuffle: a leaf's
+    * ancestor chain can hit at most one cell of a disjoint set.
     */
   def coverGeometry(geom: org.locationtech.jts.geom.Geometry): Array[Long] = {
     val out = mutable.ArrayBuffer[Long]()
@@ -119,6 +124,25 @@ object Coverer {
       }
       i += 1
     }
-    out.distinct.toArray
+    normalize(out.distinct.toArray)
+  }
+
+  /** Drop cells that have a strict ancestor in the set (covers stay a
+    * superset of the geometry: the ancestor covers the descendant).
+    */
+  def normalize(cells: Array[Long]): Array[Long] = {
+    if (cells.length <= 1) return cells.sorted
+    val set = new java.util.HashSet[java.lang.Long](cells.length * 2)
+    cells.foreach(set.add(_))
+    cells.filter { c =>
+      var l = 0 // caller-supplied covers may sit coarser than MinLevel
+      val cl = Cell.level(c)
+      var keep = true
+      while (keep && l < cl) {
+        if (set.contains(Cell.parent(c, l))) keep = false
+        l += 1
+      }
+      keep
+    }.sorted
   }
 }

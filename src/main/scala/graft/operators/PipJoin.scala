@@ -33,8 +33,11 @@ object PipJoin {
     * use (collected once; the cover table is the small side).
     */
   def coverLevelBand(covers: DataFrame): (Int, Int) = {
+    // round, don't truncate: log2(2^58) evaluates to 58.000000000000004 in
+    // doubles, and truncation would misclassify coarse levels (shrinking
+    // the ancestor band and silently dropping matches)
     val row = covers
-      .select(expr("cast(30 - log2(cellId & -cellId) / 2 as int)").as("lvl"))
+      .select(expr("cast(round(30 - log2(cellId & -cellId) / 2) as int)").as("lvl"))
       .agg(min("lvl"), max("lvl")).head()
     (row.getInt(0), row.getInt(1))
   }
@@ -84,51 +87,74 @@ object PipJoin {
       .select((Seq("url", "layer", "relId") ++ extraPageCols).map(col): _*)
   }
 
+  /** joinLevel from cover stats: fine enough that most cover cells map UP
+    * to their ancestor (no 4^Δ descend blow-up), coarse enough to keep the
+    * per-key build rows bounded — the 75th-percentile cover level, clamped.
+    */
+  def chooseJoinLevel(covers: DataFrame, maxJoinLevel: Int = 12): Int = {
+    val p75 = covers
+      .select(expr("cast(round(30 - log2(cellId & -cellId) / 2) as int)").as("lvl"))
+      .agg(expr("percentile(lvl, 0.75)")).head().getDouble(0)
+    math.max(graft.cells.Coverer.MinLevel, math.min(maxJoinLevel, math.round(p75).toInt))
+  }
+
   /** Partitioned strategy for non-broadcastable dimension sides: covers are
-    * exploded down/up to `joinLevel`; pages carry exactly one join key (their
-    * `joinLevel` ancestor) plus a salt. Coarse cover cells explode to their
-    * `joinLevel` descendants that the polygon's bbox intersects; finer cells
-    * map to their ancestor (deduplicated) and keep their range for the
-    * residual test. AQE's skew-join handles stragglers; `salt` > 1
-    * additionally replicates the cover side for hot cells.
+    * exploded down/up to `joinLevel` and **pre-aggregated to one build row
+    * per (relId, layer, joinCell)** carrying the merged leaf-range list;
+    * pages carry exactly one join key (their `joinLevel` ancestor) plus a
+    * salt. Because the build side is unique per key and each page has one
+    * key, the probe join emits at most one candidate per (page, relation) —
+    * no output-side dropDuplicates shuffle of the (huge) match set.
+    * Coarse cover cells descend to their `joinLevel` descendants (range =
+    * whole join cell); finer cells map to their ancestor keeping their own
+    * range for the residual test. AQE's skew-join handles stragglers;
+    * `salt` > 1 additionally replicates the cover side for hot cells.
+    * `joinLevel <= 0` picks the level from cover stats.
     */
   def matchesPartitioned(pages: DataFrame, covers: DataFrame, polygons: DataFrame,
-                         joinLevel: Int = 8, salt: Int = 1): DataFrame = {
+                         joinLevel: Int = 0, salt: Int = 1): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
+    val jl = if (joinLevel > 0) joinLevel else chooseJoinLevel(covers)
 
     val coverCells = covers.select(col("relId"), col("layer"), col("cellId"))
       .as[(Long, String, Long)]
       .flatMap { case (relId, layer, cellId) =>
         val l = graft.cells.Cell.level(cellId)
-        if (l >= joinLevel)
-          Iterator.single((relId, layer, graft.cells.Cell.parent(cellId, joinLevel), cellId))
-        else {
-          // descend to joinLevel: at most 4^(joinLevel-l) cells; coarse
-          // cover cells are rare (big polygons) by construction
+        if (l >= jl) {
+          // fine cell: ancestor key, keep the cell's own leaf range
+          Iterator.single((relId, layer, graft.cells.Cell.parent(cellId, jl),
+            graft.cells.Cell.rangeMin(cellId), graft.cells.Cell.rangeMax(cellId)))
+        } else {
+          // descend to joinLevel: at most 4^(jl-l) cells; coarse cover
+          // cells are rare (big polygons) by construction. The descendant
+          // IS the join cell, so its range is the whole cell.
           def desc(c: Long): Iterator[Long] =
-            if (graft.cells.Cell.level(c) == joinLevel) Iterator.single(c)
+            if (graft.cells.Cell.level(c) == jl) Iterator.single(c)
             else graft.cells.Cell.children(c).iterator.flatMap(desc)
-          desc(cellId).map(j => (relId, layer, j, cellId))
+          desc(cellId).map(j =>
+            (relId, layer, j, graft.cells.Cell.rangeMin(j), graft.cells.Cell.rangeMax(j)))
         }
       }
-      .toDF("relId", "layer", "joinCell", "cellId")
-      .dropDuplicates("relId", "layer", "joinCell", "cellId")
+      .toDF("relId", "layer", "joinCell", "rmin", "rmax")
+      // ONE build row per (relId, layer, joinCell): merged range list.
+      // This shuffles only the (small) dimension side, once.
+      .groupBy("relId", "layer", "joinCell")
+      .agg(collect_list(struct(col("rmin"), col("rmax"))).as("ranges"))
       .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
 
     val probes = pages
-      .withColumn("joinCell", st_cell_at(col("lon"), col("lat"), joinLevel))
+      .withColumn("joinCell", st_cell_at(col("lon"), col("lat"), jl))
       .withColumn("leaf", st_cell_at(col("lon"), col("lat"), graft.cells.Cell.MaxLevel))
       .withColumn("salt", pmod(hash(col("url")), lit(salt)))
 
     probes
       .join(coverCells, Seq("joinCell", "salt"))
-      .filter(col("leaf").between(
-        expr("cellId - (cellId & -cellId) + 1"), expr("cellId + (cellId & -cellId) - 1")))
+      .filter(exists(col("ranges"),
+        r => col("leaf") >= r.getField("rmin") && col("leaf") <= r.getField("rmax")))
       .join(polygons.select(col("relId"), col("wkb")), Seq("relId"))
       .filter(st_contains_point_keyed(col("relId"), col("wkb"), col("lon"), col("lat")))
       .select("url", "layer", "relId")
-      .dropDuplicates("url", "layer", "relId")
   }
 
   /** Skew-aware salt selection (SURVEY §7 hard part c): sample the pages'

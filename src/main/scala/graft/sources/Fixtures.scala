@@ -100,6 +100,33 @@ object Fixtures {
         math.rint((cy + r * math.sin(th)) * 1e6) / 1e6)
     }
 
+  /** The duplicated-consecutive-point ring (Hoorn regression input). */
+  def dupRing: IndexedSeq[(Double, Double)] = {
+    val o = octagon(10.0, 45.0, 1.0)
+    (o.take(3) :+ o(2)) ++ o.drop(3) // duplicate vertex 2
+  }
+
+  /** Input-level ground truth for the DuckDB PIP oracle: every relation
+    * that survives ingest AND carries a non-empty cell cover, as plain
+    * rings — (layer, relId, adminLevel, name, outerRing, holes). Mirrors
+    * the `osm` builder below; relIds 995 (degenerate cover → unreachable
+    * through the index, reference lookup.go:183-189), 997 (sub-area drop),
+    * 998 (tag-rejected) and 999 (blacklisted) are deliberately absent.
+    */
+  lazy val oracleDims: Seq[(String, Long, Int, String,
+      IndexedSeq[(Double, Double)], Seq[IndexedSeq[(Double, Double)]])] = {
+    val perCity = cities.zipWithIndex.flatMap { case ((name, cx, cy), c) =>
+      Seq(
+        ("countries", (100 + c).toLong, 2, s"country_$name", octagon(cx, cy, 5.0),
+          if (c == 0) Seq(octagon(cx + 3.0, cy, 0.8)) else Nil),
+        ("regions", (200 + c).toLong, 4, s"region_$name", octagon(cx, cy, 2.0), Nil),
+        ("cities", (300 + c).toLong, if (c < 3) 6 else 8, s"city_$name", octagon(cx, cy, 0.6), Nil))
+    }
+    perCity ++ Seq(
+      ("water", 500L, 0, "north_sea", octagon(4.35 - 4.5, 50.85, 1.5), Nil),
+      ("regions", 996L, 4, "dup_point", dupRing, Nil))
+  }
+
   /** In-memory OSM fixture: (nodes, ways, relations, water). */
   lazy val osm: (Seq[Node], Seq[Way], Seq[Relation], Seq[WaterPoly]) = {
     val nodes = collection.mutable.ArrayBuffer[Node]()
@@ -160,10 +187,6 @@ object Fixtures {
     addRelation(997, Map("admin_level" -> "6", "name" -> "tiny"),
       octagon(30.0, 30.0, 0.001))
     // duplicate consecutive point (Hoorn regression): valid polygon + cover
-    val dupRing = {
-      val o = octagon(10.0, 45.0, 1.0)
-      (o.take(3) :+ o(2)) ++ o.drop(3) // duplicate vertex 2
-    }
     addRelation(996, Map("admin_level" -> "4", "name" -> "dup_point"), dupRing)
     // only 3 unique points: assembles to a (degenerate) polygon but its
     // cover is empty (lookup.go:183-185) -> never matched via the index

@@ -72,15 +72,82 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("partitioned+salted and broadcast-index PIP joins return identical rows to broadcast") {
+    // exact multiset equality (sorted seq, not set): the three strategies
+    // must agree on multiplicity too — one row per (url, layer, relId)
     val a = PipJoin.matches(pages, covers, polys)
-      .select("url", "layer", "relId").as[(String, String, Long)].collect().toSet
+      .select("url", "layer", "relId").as[(String, String, Long)].collect().toSeq.sorted
     val b = PipJoin.matchesPartitioned(pages, covers, polys, joinLevel = 8, salt = 4)
-      .as[(String, String, Long)].collect().toSet
+      .as[(String, String, Long)].collect().toSeq.sorted
     val c = PipJoin.matchesPartitioned(pages, covers, polys, joinLevel = 11, salt = 1)
-      .as[(String, String, Long)].collect().toSet
+      .as[(String, String, Long)].collect().toSeq.sorted
     val d = PipJoin.matchesIndexed(pages, covers, polys)
-      .as[(String, String, Long)].collect().toSet
+      .as[(String, String, Long)].collect().toSeq.sorted
+    assert(a == a.distinct, "broadcast strategy emitted duplicate (url,layer,relId) rows")
     assert(a == b && a == c && a == d)
+  }
+
+  test("multi-outer relation: overlapping per-polygon covers emit one row per (url,layer,relId)") {
+    // a relation with two DISJOINT outer polygons whose per-polygon covers
+    // overlap across levels: the small polygon is placed inside the big
+    // polygon's coarsest cover cell (cover cells overshoot the geometry),
+    // so a page inside the small polygon has BOTH polygons' cover cells on
+    // its leaf's ancestor chain. Without cover normalization every strategy
+    // would double-emit that match.
+    val big = Fixtures.octagon(60.0, 10.0, 4.0) // coarse cover cells
+    val bigCover = Coverer.cover(big :+ big.head)
+    val coarse = bigCover.minBy(Cell.level)
+    val (lonMin, latMin, lonMax, latMax) = Cell.bounds(coarse)
+    val spot = (for {
+      fy <- Seq(0.1, 0.3, 0.7, 0.9); fx <- Seq(0.1, 0.3, 0.7, 0.9)
+      x = lonMin + fx * (lonMax - lonMin); y = latMin + fy * (latMax - latMin)
+      if math.hypot(x - 60.0, y - 10.0) > 4.3 // strictly outside big
+    } yield (x, y)).head
+    val small = Fixtures.octagon(spot._1, spot._2, 0.05) // fine cover cells
+    // precondition: the scenario is real — small's raw cover descends from
+    // the big polygon's coarse cell
+    val smallCover = Coverer.cover(small :+ small.head)
+    assert(smallCover.nonEmpty && smallCover.forall(c => Cell.contains(coarse, c)),
+      s"test setup: small cover ${smallCover.toSeq} not under $coarse")
+
+    def wkbOf(ring: IndexedSeq[(Double, Double)]) = Jts.polygon(ring :+ ring.head)
+    val multi = Jts.factory.createMultiPolygon(Array(wkbOf(big), wkbOf(small)))
+    val polysDf = Seq((7000L, 2, "countries", "multi", Jts.toWkb(multi)))
+      .toDF("relId", "adminLevel", "layer", "name", "wkb")
+      .withColumn("bbox", graft.functions.GeomExpressions.st_envelope($"wkb"))
+    val coversDf = Ingest.cellCovers(polysDf)
+    // the cover must be normalized: no cell may have an ancestor in the set
+    val cells = coversDf.select("cellId").as[Long].collect()
+    for (c <- cells; l <- 0 until Cell.level(c))
+      assert(!cells.contains(Cell.parent(c, l)), s"cell $c has ancestor in cover")
+
+    val probe = Seq(("u1", spot._1, spot._2), ("u2", 60.0, 10.0), ("u3", -150.0, -70.0))
+      .toDF("url", "lon", "lat")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("url", "layer", "relId").as[(String, String, Long)].collect().toSeq.sorted
+    val expected = Seq(("u1", "countries", 7000L), ("u2", "countries", 7000L))
+    assert(rows(PipJoin.matches(probe, coversDf, polysDf)) == expected)
+    assert(rows(PipJoin.matchesIndexed(probe, coversDf, polysDf)) == expected)
+    assert(rows(PipJoin.matchesPartitioned(probe, coversDf, polysDf, joinLevel = 8, salt = 2)) == expected)
+  }
+
+  test("per-layer pivot: one row per url, min relId per layer") {
+    val m = PipJoin.matches(pages, covers, polys).cache()
+    val got = PipJoin.perLayer(m, Seq("countries", "regions", "cities", "water"))
+    val rows = got.collect()
+    // one row per distinct matched url
+    assert(rows.length == m.select("url").distinct().count())
+    // spot-check against a brute-force pivot of the match rows
+    val raw = m.select("url", "layer", "relId").as[(String, String, Long)].collect()
+    val expect = raw.groupBy(_._1).map { case (url, rs) =>
+      url -> rs.groupBy(_._2).map { case (l, g) => l -> g.map(_._3).min }
+    }
+    rows.foreach { r =>
+      val url = r.getString(r.fieldIndex("url"))
+      Seq("countries", "regions", "cities", "water").foreach { l =>
+        val got = if (r.isNullAt(r.fieldIndex(l))) None else Some(r.getLong(r.fieldIndex(l)))
+        assert(got == expect(url).get(l), s"$url/$l")
+      }
+    }
   }
 
   test("completeness anti-join: missing = pages not matched in all 3 layers") {

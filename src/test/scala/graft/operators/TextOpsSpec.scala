@@ -82,6 +82,46 @@ class TextOpsSpec extends SparkTestBase {
       .foreach(u => assert(kinds(u) == "video"))
   }
 
+  test("BPE-ish token count: crafted strings match hand counts") {
+    // hand-derived against the GPT-2 pre-tokenization rules
+    val cases = Seq(
+      "hello world" -> 2,   // "hello", " world"
+      "don't stop" -> 3,    // "don", "'t", " stop"
+      "a1b2" -> 4,          // "a", "1", "b", "2"
+      "  two spaces" -> 3,  // " " (run minus last space), " two", " spaces"
+      "x   " -> 2,          // "x", "   " (trailing run is one token)
+      "tab\t\tx" -> 4,      // "tab", "\t" (lookahead alt), "\t" (plain \s+), "x"
+      "..!?" -> 1,          // one punctuation run
+      "price: $5" -> 4)     // "price", ":", " $", "5"
+    cases.foreach { case (s, n) =>
+      assert(TextOps.bpeishTokenCount(s) == n, s"'$s'")
+    }
+    // table output consistent with the scalar function
+    val df = Seq((1L, "don't stop"), (2L, "  two spaces")).toDF("doc_id", "text")
+    val got = TextOps.tokenCounts(df).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L))
+  }
+
+  test("blocked embedding dedup: subset of exact with full-containment recall on clustered pairs") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val exact = Similarity.embeddingDedupExact(emb, 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val blocked = Similarity.embeddingDedupBlocked(emb, 0.4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // no false positives: every blocked pair is an exact pair (same cosine
+    // threshold, the blocking only prunes candidates)
+    assert(blocked.subsetOf(exact), s"false positives: ${(blocked -- exact).take(5)}")
+    // recall: pairs sharing an IVF list are found; report and bound it
+    val recall = if (exact.isEmpty) 1.0 else blocked.size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall (${blocked.size}/${exact.size})")
+    // and cosine values agree with the exact path on the found pairs
+    val exactCos = Similarity.embeddingDedupExact(emb, 0.4)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    Similarity.embeddingDedupBlocked(emb, 0.4).as[(Long, Long, Double)].collect()
+      .foreach { case (a, b, c) => assert(exactCos((a, b)) == c) }
+  }
+
   test("IVF ANN recall >= 0.8 vs brute force at nProbe=4/16") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val brute = Similarity.bruteForceTopK(emb, 0L to 9L, 5)

@@ -268,7 +268,8 @@ object SparkEntry {
       val (polys, _) = dims(spark)
       val water = Ingest.waterPolygons(spark, Fixtures.waterDf(spark))
       v = Export.layer(polys, water, "countries", Seq(100L, 101L, 102L, 103L, 104L),
-        simplifyDigits = 3, quantize = 1e6, pointLimit = 20)
+        simplifyDigits = 3, quantize = 1e6, pointLimit = 20,
+        relations = Some(Fixtures.relationsDf(spark)), languages = Seq("nl", "en"))
       v = v.copy(topo = v.topo.copy(arcs = v.topo.arcs.cache(),
         arcsQ = v.topo.arcsQ.map(_.cache()), uses = v.topo.uses.cache(),
         objects = v.topo.objects.cache()))

@@ -28,22 +28,25 @@ object Export {
     * the ToGeoJSON step between pre-simplification and clipping
     * (geometries.go:199). Consecutive arcs share their junction endpoint,
     * which is dropped on concatenation.
+    *
+    * Distributed: arc points reach each object's group through a join on
+    * arcId (arcs are never collected to the driver), so reconstruction
+    * scales with the cluster rather than with driver memory.
     */
   def reconstruct(topo: TopoPipeline.Topology): DataFrame = {
     val spark = topo.arcs.sparkSession
     import spark.implicits._
-    val arcMap = spark.sparkContext.broadcast(
-      topo.arcs.as[(Long, Seq[(Double, Double)])].collect().toMap)
 
-    topo.uses
-      .as[(Long, Int, Int, Int, Long, Boolean)]
+    topo.uses.join(topo.arcs, Seq("arcId"))
+      .select(col("objId").as("_1"), col("polyIdx").as("_2"), col("ringIdx").as("_3"),
+        col("segIdx").as("_4"), col("reversed").as("_5"), col("pts").as("_6"))
+      .as[(Long, Int, Int, Int, Boolean, Seq[(Double, Double)])]
       .groupByKey(_._1)
       .mapGroups { (objId, it) =>
         val uses = it.toSeq.sortBy(u => (u._2, u._3, u._4)) // polyIdx, ringIdx, segIdx
         val rings = uses.groupBy(u => (u._2, u._3)).toSeq.sortBy(_._1).map { case ((pi, ri), segs) =>
           val pts = segs.sortBy(_._4).foldLeft(Vector.empty[(Double, Double)]) { (acc, u) =>
-            val arc = arcMap.value(u._5)
-            val seq = if (u._6) arc.reverse else arc
+            val seq = if (u._5) u._6.reverse else u._6
             if (acc.isEmpty) acc ++ seq else acc ++ seq.drop(1)
           }
           (pi, ri, pts)
@@ -62,77 +65,147 @@ object Export {
       .toDF("objId", "wkb")
   }
 
-  case class LayerResult(layer: String, topo: TopoPipeline.Topology, slices: Seq[(Long, Int)])
+  case class LayerResult(layer: String, topo: TopoPipeline.Topology, slices: Seq[(Long, Int)],
+                         props: Option[DataFrame] = None)
+
+  private def jsonEsc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 
   /** S10: the TopoJSON file sink — one `NNNN.topojson` per slice
     * (export.go:101-114). Arc indices follow the TopoJSON convention:
     * forward i, reversed ^i. Slice files subset objects and renumber the
     * referenced arcs (the topo.Filter step, export.go:95-99); bounding
-    * boxes are dropped.
+    * boxes are dropped. Objects carry `properties` (name, name:<lang>)
+    * when the layer was exported with names (export.go:36-43,
+    * geometries.go:147-161).
+    *
+    * Distributed: each slice's JSON is assembled inside a `groupByKey(slice)
+    * .mapGroups` — arcs and uses are joined in, never collected wholesale;
+    * the driver only streams one finished slice document at a time
+    * (`toLocalIterator`) to write the files.
+    *
+    * Quantized topologies write integer delta-encoded arcs with the
+    * transform; unquantized ones write absolute double positions and omit
+    * the transform, per the TopoJSON spec.
     */
   def writeSlices(result: LayerResult, outDir: String): Seq[String] = {
     import java.nio.file.{Files, Paths}
     val spark = result.topo.uses.sparkSession
     import spark.implicits._
 
-    val arcsQ = result.topo.arcsQ.getOrElse(result.topo.arcs)
-    val arcPts: Map[Long, Seq[(Int, Int)]] = result.topo.arcsQ match {
-      case Some(q) => q.as[(Long, Seq[(Int, Int)])].collect().toMap
-      case None => result.topo.arcs.as[(Long, Seq[(Double, Double)])].collect()
-        .map { case (id, pts) => id -> pts.map(p => (p._1.toInt, p._2.toInt)) }.toMap
+    // one JSON array string per arc (quantized deltas or absolute doubles)
+    val arcJs = result.topo.arcsQ match {
+      case Some(q) => q.select(col("arcId").as("_1"), col("qpts").as("_2"))
+        .as[(Long, Seq[(Int, Int)])]
+        .map { case (id, pts) => (id, pts.map(p => s"[${p._1},${p._2}]").mkString("[", ",", "]")) }
+      case None => result.topo.arcs.select(col("arcId").as("_1"), col("pts").as("_2"))
+        .as[(Long, Seq[(Double, Double)])]
+        .map { case (id, pts) => (id, pts.map(p => s"[${p._1},${p._2}]").mkString("[", ",", "]")) }
     }
-    val uses = result.topo.uses
-      .as[(Long, Int, Int, Int, Long, Boolean)].collect()
-      .groupBy(_._1)
 
-    val dir = Paths.get(outDir, result.layer)
-    Files.createDirectories(dir)
+    // one JSON fragment per object's properties, when names were attached
+    val propsJs: DataFrame = result.props match {
+      case Some(p) =>
+        val langCols = p.columns.filter(_.startsWith("name_")).sorted
+        val spec = p.columns.indexOf("name") ->
+          langCols.map(c => p.columns.indexOf(c) -> c.stripPrefix("name_"))
+        p.map { row =>
+          val (nameIdx, langs) = spec
+          val kvs = Seq.newBuilder[(String, String)]
+          if (!row.isNullAt(nameIdx)) kvs += ("name" -> row.getString(nameIdx))
+          langs.foreach { case (i, lang) =>
+            if (!row.isNullAt(i)) kvs += (s"name:$lang" -> row.getString(i))
+          }
+          val json = kvs.result()
+            .map { case (k, v) => s""""${jsonEsc(k)}":"${jsonEsc(v)}"""" }
+            .mkString("{", ",", "}")
+          (row.getLong(row.fieldIndex("objId")), json)
+        }.toDF("objId", "propsJson")
+      case None => Seq.empty[(Long, String)].toDF("objId", "propsJson")
+    }
+
+    val sliceDf = result.slices.toDF("objId", "slice")
+    val rows = result.topo.uses
+      .join(sliceDf, Seq("objId"))
+      .join(arcJs.toDF("arcId", "arcJson"), Seq("arcId"))
+      .join(propsJs, Seq("objId"), "left")
+      .select(col("slice").as("_1"), col("objId").as("_2"), col("polyIdx").as("_3"),
+        col("ringIdx").as("_4"), col("segIdx").as("_5"), col("arcId").as("_6"),
+        col("reversed").as("_7"), col("arcJson").as("_8"), col("propsJson").as("_9"))
+      .as[(Int, Long, Int, Int, Int, Long, Boolean, String, String)]
+
     val transformJson = result.topo.transform.map { case (kx, ky, x0, y0) =>
       s""""transform":{"scale":[${1 / kx},${1 / ky}],"translate":[$x0,$y0]},"""
     }.getOrElse("")
 
-    result.slices.groupBy(_._2).toSeq.sortBy(_._1).map { case (slice, members) =>
-      val objIds = members.map(_._1).sorted
-      // renumber arcs used by this slice
-      val sliceArcIds = objIds.flatMap(id => uses(id).map(_._5)).distinct.sorted
+    val sliceJson = rows.groupByKey(_._1).mapGroups { (slice, it) =>
+      val uses = it.toArray
+      val byObj = uses.groupBy(_._2)
+      val objIds = byObj.keys.toSeq.sorted
+      val arcJson = uses.map(u => u._6 -> u._8).toMap
+      val sliceArcIds = uses.map(_._6).distinct.sorted
       val renumber = sliceArcIds.zipWithIndex.toMap
-      val arcsJson = sliceArcIds.map { aid =>
-        arcPts(aid).map(p => s"[${p._1},${p._2}]").mkString("[", ",", "]")
-      }.mkString("[", ",", "]")
+      val arcsJson = sliceArcIds.map(arcJson).mkString("[", ",", "]")
       val objectsJson = objIds.map { id =>
-        val byPoly = uses(id).groupBy(_._2).toSeq.sortBy(_._1)
-        def ringArcs(segs: Array[(Long, Int, Int, Int, Long, Boolean)]): String =
-          segs.sortBy(_._4).map { u =>
-            val i = renumber(u._5)
-            if (u._6) ~i else i
+        val byPoly = byObj(id).groupBy(_._3).toSeq.sortBy(_._1)
+        def ringArcs(segs: Array[(Int, Long, Int, Int, Int, Long, Boolean, String, String)]): String =
+          segs.sortBy(_._5).map { u =>
+            val i = renumber(u._6)
+            if (u._7) ~i else i
           }.mkString("[", ",", "]")
         val polysJson = byPoly.map { case (_, ringsOfPoly) =>
-          ringsOfPoly.groupBy(_._3).toSeq.sortBy(_._1)
+          ringsOfPoly.groupBy(_._4).toSeq.sortBy(_._1)
             .map { case (_, segs) => ringArcs(segs) }.mkString("[", ",", "]")
         }
         val (gtype, arcs) =
           if (polysJson.length == 1) ("Polygon", polysJson.head)
           else ("MultiPolygon", polysJson.mkString("[", ",", "]"))
-        s""""$id":{"type":"$gtype","arcs":$arcs,"id":"$id"}"""
+        val props = Option(byObj(id).head._9).map(p => s""","properties":$p""").getOrElse("")
+        s""""$id":{"type":"$gtype","arcs":$arcs,"id":"$id"$props}"""
       }.mkString(",")
-      val json = s"""{"type":"Topology",$transformJson"objects":{$objectsJson},"arcs":$arcsJson}"""
+      (slice, s"""{"type":"Topology",$transformJson"objects":{$objectsJson},"arcs":$arcsJson}""")
+    }
+
+    val dir = Paths.get(outDir, result.layer)
+    Files.createDirectories(dir)
+    val out = Seq.newBuilder[String]
+    val it = sliceJson.toLocalIterator()
+    while (it.hasNext) {
+      val (slice, json) = it.next()
       val path = dir.resolve(f"$slice%04d.topojson")
       Files.writeString(path, json)
-      path.toString
+      out += path.toString
     }
+    out.result().sorted
   }
 
   /** Run the full export for one layer: curated ids → simplify →
-    * clip water → quantized topology → slices.
+    * clip water → names → quantized topology → slices. When `relations`
+    * is given, the exported objects carry name/name:<lang> properties
+    * (export.go:36-43) emitted into the TopoJSON by writeSlices.
     */
   def layer(polygons: DataFrame, water: DataFrame, layerId: String,
             curatedIds: Seq[Long], simplifyDigits: Int,
-            quantize: Double = 1e6, pointLimit: Int = 10000): LayerResult = {
+            quantize: Double = 1e6, pointLimit: Int = 10000,
+            relations: Option[DataFrame] = None,
+            languages: Seq[String] = Nil): LayerResult = {
     import org.apache.spark.sql.functions.col
 
-    val features0 = polygons
+    val curated = polygons
       .filter(col("layer") === layerId && col("relId").isin(curatedIds: _*))
-      .select(col("relId").as("objId"), col("wkb"), col("bbox"))
+
+    // P3: property enrichment for the export objects
+    val props = relations.map { rels =>
+      withNames(curated, rels, languages)
+        .select((col("relId").as("objId") +: col("name") +:
+          languages.map(l => col(s"name_$l"))): _*)
+    }
+
+    val features0 = curated.select(col("relId").as("objId"), col("wkb"), col("bbox"))
 
     // P5: pre-clip simplification (simplify > 0 ∧ clipwater), no quantize
     val preSimplified =
@@ -151,6 +224,6 @@ object Export {
       .withColumn("bbox", graft.functions.GeomExpressions.st_envelope(col("wkb")))
     val topo = TopoPipeline.topology(rebboxed, simplifyDigits, quantize)
     val sl = TopoPipeline.slices(topo.objects, pointLimit)
-    LayerResult(layerId, topo, sl)
+    LayerResult(layerId, topo, sl, props)
   }
 }

@@ -95,16 +95,42 @@ object TopoPipeline {
   /** Cut rings into arcs at junctions; rings without junctions stay one
     * closed arc. Rings with junctions are rotated to start at their first
     * junction occurrence (deterministic).
+    *
+    * Distributed: each ring learns its junction positions through a join
+    * against the junction table (explode points → equi-join on the point
+    * key → collect positions per ring) — no driver-side junction collect,
+    * so the path scales to planet-sized topologies.
     */
-  def cut(ringsDf: DataFrame, junctionSet: Set[String]): DataFrame = {
+  def cut(ringsDf: DataFrame, junctionsDf: DataFrame): DataFrame = {
     val spark = ringsDf.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(junctionSet)
-    ringsDf.as[RingRow].flatMap { r =>
-      val jx = bc.value
+
+    val ringPts = ringsDf.as[RingRow].flatMap { r =>
+      val open = r.pts.dropRight(1)
+      open.iterator.zipWithIndex.map { case (p, i) => (r.objId, r.polyIdx, r.ringIdx, i, ptKey(p)) }
+    }.toDF("objId", "polyIdx", "ringIdx", "i", "pt")
+
+    val perRing = ringPts.join(junctionsDf, Seq("pt"))
+      .groupBy("objId", "polyIdx", "ringIdx")
+      .agg(sort_array(collect_list(col("i"))).as("jIdx"))
+
+    ringsDf.join(perRing, Seq("objId", "polyIdx", "ringIdx"), "left")
+      .select(col("objId").as("_1"), col("polyIdx").as("_2"), col("ringIdx").as("_3"),
+        col("pts").as("_4"),
+        coalesce(col("jIdx"), array().cast("array<int>")).as("_5"))
+      .as[(Long, Int, Int, Seq[(Double, Double)], Seq[Int])]
+      .flatMap { case (objId, polyIdx, ringIdx, pts, jIdxRaw) =>
+        cutRing(RingRow(objId, polyIdx, ringIdx, pts), jIdxRaw.toSet)
+      }.toDF("objId", "polyIdx", "ringIdx", "segIdx", "key", "reversed", "pts")
+  }
+
+  /** Cut one ring given its junction positions (pure, per-ring local). */
+  private def cutRing(r: RingRow, jSet: Set[Int])
+      : Iterator[(Long, Int, Int, Int, String, Boolean, Seq[(Double, Double)])] = {
+    {
       val open = r.pts.dropRight(1).toIndexedSeq
       val n = open.length
-      val jIdx = (0 until n).filter(i => jx.contains(ptKey(open(i))))
+      val jIdx = (0 until n).filter(jSet.contains)
       val arcs: Seq[Seq[(Double, Double)]] =
         if (jIdx.isEmpty) {
           // no junctions: one closed arc, rotated to its minimal vertex so
@@ -115,8 +141,9 @@ object TopoPipeline {
         } else {
           val start = jIdx.head
           val rotated = (0 until n).map(i => open((start + i) % n)) :+ open(start)
-          // split at junction positions within the rotated ring
-          val cuts = (0 to n).filter(i => i == 0 || i == n || jx.contains(ptKey(rotated(i))))
+          // split at junction positions within the rotated ring (a rotated
+          // index i is a junction iff the original index (start+i)%n is)
+          val cuts = (0 to n).filter(i => i == 0 || i == n || jSet.contains((start + i) % n))
           cuts.sliding(2).map { case Seq(a, b) => rotated.slice(a, b + 1): Seq[(Double, Double)] }.toSeq
         }
       arcs.zipWithIndex.map { case (a, si) =>
@@ -127,8 +154,8 @@ object TopoPipeline {
           if (reversed) rev else fwd,
           reversed,
           if (reversed) a.reverse else a)
-      }
-    }.toDF("objId", "polyIdx", "ringIdx", "segIdx", "key", "reversed", "pts")
+      }.iterator
+    }
   }
 
   /** Full topology build. simplifyDigits > 0 → tolerance 10^-digits
@@ -140,8 +167,7 @@ object TopoPipeline {
     val maxErr = if (simplifyDigits > 0) math.pow(10, -simplifyDigits) else 0.0
 
     val ringsDf = rings(features).cache()
-    val jx = junctions(ringsDf).as[String].collect().toSet
-    val cutDf = cut(ringsDf, jx).cache()
+    val cutDf = cut(ringsDf, junctions(ringsDf)).cache()
 
     // shared-arc dedup: one row per canonical key, deterministic dense ids.
     // Ids come from a distributed sort + zipWithIndex (not a global-window
@@ -206,37 +232,52 @@ object TopoPipeline {
   }
 
   /** P6/P7: water clipping. Water geoms are ring-simplified at the same
-    * tolerance, buffer(0)-repaired and broadcast; each feature is
-    * buffer(0)-repaired then differenced against every intersecting clip
-    * geometry (sequentially, like geometries.go:228-263).
+    * tolerance, buffer(0)-repaired and broadcast (in deterministic id
+    * order, with their bboxes); each feature is buffer(0)-repaired then
+    * differenced against every intersecting clip geometry sequentially,
+    * like geometries.go:228-263 — a typed map, no UDF, with a bbox
+    * prefilter so a feature only runs the prepared-intersects test against
+    * water whose envelope overlaps it (difference only shrinks geometry,
+    * so the pre-clip bbox stays a valid superset throughout the fold).
+    * Expects features(objId, wkb, bbox).
     */
   def clipWater(features: DataFrame, water: DataFrame, simplifyDigits: Int): DataFrame = {
     val spark = features.sparkSession
     import spark.implicits._
     val maxErr = if (simplifyDigits > 0) math.pow(10, -simplifyDigits) else 0.0
-    val waterWkbs = water.select("wkb").as[Array[Byte]].collect().map { wkb =>
-      val g = Jts.fromWkb(wkb)
-      val s = if (maxErr > 0)
-        graft.functions.GeomExpressions.mapPolygonRings(g,
-          pts => Algorithms.douglasPeucker(pts, maxErr))
-      else g
-      Jts.toWkb(s.buffer(0))
-    }
-    val bc = spark.sparkContext.broadcast(waterWkbs)
+    val waterPrepped: Array[(Array[Byte], (Double, Double, Double, Double))] =
+      water.select(col("id").as("_1"), col("wkb").as("_2")).as[(Long, Array[Byte])]
+        .collect().sortBy(_._1).map { case (_, wkb) =>
+          val g = Jts.fromWkb(wkb)
+          val s = if (maxErr > 0)
+            graft.functions.GeomExpressions.mapPolygonRings(g,
+              pts => Algorithms.douglasPeucker(pts, maxErr))
+          else g
+          val repaired = s.buffer(0)
+          val env = repaired.getEnvelopeInternal
+          (Jts.toWkb(repaired), (env.getMinX, env.getMinY, env.getMaxX, env.getMaxY))
+        }
+    val bc = spark.sparkContext.broadcast(waterPrepped)
 
-    val outCols = features.columns
-    val clipped = features.withColumn("wkb",
-      udf((wkb: Array[Byte]) => {
+    features
+      .select(col("objId").as("_1"), col("wkb").as("_2"),
+        col("bbox.minx").as("_3"), col("bbox.miny").as("_4"),
+        col("bbox.maxx").as("_5"), col("bbox.maxy").as("_6"))
+      .as[(Long, Array[Byte], Double, Double, Double, Double)]
+      .map { case (objId, wkb, minx, miny, maxx, maxy) =>
         var geom = Jts.fromWkb(wkb).buffer(0)
-        bc.value.foreach { w =>
-          val wg = Jts.fromWkb(w)
-          if (graft.functions.PreparedCache.get(w).intersects(geom)) {
-            try geom = geom.difference(wg) catch { case _: Exception => }
+        bc.value.foreach { case (w, (wx0, wy0, wx1, wy1)) =>
+          if (minx <= wx1 && maxx >= wx0 && miny <= wy1 && maxy >= wy0) {
+            if (graft.functions.PreparedCache.get(w).intersects(geom)) {
+              try geom = geom.difference(Jts.fromWkb(w)) catch { case _: Exception => }
+            }
           }
         }
-        Jts.toWkb(geom)
-      }).apply(col("wkb")))
-    clipped.select(outCols.map(col): _*)
+        (objId, Jts.toWkb(geom), minx, miny, maxx, maxy)
+      }
+      .toDF("objId", "wkb", "minx", "miny", "maxx", "maxy")
+      .withColumn("bbox", struct(col("minx"), col("miny"), col("maxx"), col("maxy")))
+      .select("objId", "wkb", "bbox")
   }
 
   /** E3: greedy nearest-centroid slicing — reproduces export.go:59-98

@@ -15,7 +15,8 @@ class ExportSinkSpec extends SparkTestBase {
       Fixtures.relationsDf(spark), Fixtures.blacklist)
     val water = Ingest.waterPolygons(spark, Fixtures.waterDf(spark))
     val res = Export.layer(polys, water, "regions", Seq(200L, 201L, 202L, 203L, 204L),
-      simplifyDigits = 3, quantize = 1e6, pointLimit = 15)
+      simplifyDigits = 3, quantize = 1e6, pointLimit = 15,
+      relations = Some(Fixtures.relationsDf(spark)), languages = Seq("nl", "en"))
     val out = Files.createTempDirectory("topo_out").toString
     val files = Export.writeSlices(res, out)
     assert(files.nonEmpty)
@@ -35,6 +36,29 @@ class ExportSinkSpec extends SparkTestBase {
       "\"id\":\"(\\d+)\"".r.findAllMatchIn(json).map(_.group(1).toLong)
     }
     assert(ids.sorted == Seq(200L, 201L, 202L, 203L, 204L))
+    // name properties emitted per object (export.go:36-43 semantics)
+    val allJson = files.map(f => Files.readString(java.nio.file.Paths.get(f))).mkString
+    Seq("brussels", "paris", "nyc", "tokyo", "sydney").foreach { city =>
+      assert(allJson.contains(s""""properties":{"name":"region_$city"}"""),
+        s"missing name property for region_$city")
+    }
+  }
+
+  test("writeSlices without quantization writes absolute positions, no transform") {
+    import graft.geom.Jts
+    def sqw(x0: Double, y0: Double, x1: Double, y1: Double) =
+      Jts.toWkb(Jts.polygon(IndexedSeq((x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0))))
+    val fs = Seq((1L, sqw(0, 0, 1, 1)), (2L, sqw(1, 0, 2, 1))).toDF("objId", "wkb")
+      .withColumn("bbox", graft.functions.GeomExpressions.st_envelope(col("wkb")))
+    val topo = TopoPipeline.topology(fs, 0, 0)
+    val res = Export.LayerResult("raw", topo, Seq((1L, 0), (2L, 0)))
+    val out = Files.createTempDirectory("topo_raw").toString
+    val files = Export.writeSlices(res, out)
+    val json = Files.readString(java.nio.file.Paths.get(files.head))
+    assert(!json.contains(""""transform""""), "unquantized topology must omit transform")
+    // absolute double coordinates, not int-truncated deltas: the shared
+    // border arc must contain the exact corner (1.0, 0.0) and (1.0, 1.0)
+    assert(json.contains("[1.0,0.0]") && json.contains("[1.0,1.0]"))
   }
 
   test("spatialRepartition clusters nearby points in the same partitions") {

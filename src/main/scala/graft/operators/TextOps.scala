@@ -68,7 +68,25 @@ object TextOps {
     if (s.length < k) return Array(MurmurHash3.stringHash(s, 3).toLong)
     val grams = Array.tabulate(s.length - k + 1)(i => MurmurHash3.stringHash(s.substring(i, i + k), 3).toLong)
     if (grams.length <= window) Array(grams.min)
-    else grams.sliding(window).map(_.min).toArray.distinct
+    else slidingMins(grams, window).distinct
+  }
+
+  /** O(n) sliding-window minima via a monotonic index deque — value-for-
+    * value identical to `grams.sliding(window).map(_.min)` (which is
+    * O(n·w) and visibly dominated q_fingerprints bench time).
+    */
+  private[operators] def slidingMins(grams: Array[Long], window: Int): Array[Long] = {
+    val out = new Array[Long](grams.length - window + 1)
+    val deque = new java.util.ArrayDeque[Int]()
+    var i = 0
+    while (i < grams.length) {
+      while (!deque.isEmpty && grams(deque.peekLast()) > grams(i)) deque.pollLast()
+      deque.addLast(i)
+      if (deque.peekFirst() <= i - window) deque.pollFirst()
+      if (i >= window - 1) out(i - window + 1) = grams(deque.peekFirst())
+      i += 1
+    }
+    out
   }
 
   /** BPE-ish tokenizer: the GPT-2-style pre-tokenization regex (published

@@ -92,6 +92,32 @@ object SnapshotTable {
   private def dirBytes(p: Path): Long =
     Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
 
+  /** Per-partition completion marker (underscore-prefixed → invisible to
+    * parquet readers, like _SUCCESS). Written only after the write job for
+    * a partition directory has fully succeeded; resume() treats any
+    * partition directory WITHOUT it as a torn write and recomputes it —
+    * a crash mid-job can leave task-committed files in a directory that
+    * never finished (the reference gates on stamp keys written only after
+    * completion, db.go:52-88).
+    */
+  private val Marker = "_GRAFT_COMMITTED"
+
+  private def partitionDirs(dataDir: Path, partCol: String): Seq[Path] =
+    if (!Files.exists(dataDir)) Nil
+    else Files.list(dataDir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$partCol="))
+      .toSeq
+
+  private def writeMarkers(dataDir: Path, partCol: String): Unit =
+    partitionDirs(dataDir, partCol).foreach { p =>
+      val m = p.resolve(Marker)
+      if (!Files.exists(m)) Files.writeString(m, "")
+    }
+
+  private def deleteRecursively(p: Path): Unit =
+    Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.delete)
+
   /** Write df partitioned by `partCol` into a new snapshot. Partition keys
     * listed in `keepFromParent` are carried over from the parent manifest
     * (not recomputed). Returns the committed manifest.
@@ -109,6 +135,7 @@ object SnapshotTable {
 
     toWrite.write.mode(SaveMode.Overwrite).partitionBy(partCol)
       .parquet(dataDir.toString)
+    writeMarkers(dataDir, partCol) // job succeeded: stamp every partition
 
     val written = writtenPartitions(df.sparkSession, dataDir, partCol, lineage, inputs)
     val manifest = Manifest(table, partCol, snapId, parent.map(_.snapshot).getOrElse(-1L),
@@ -136,24 +163,25 @@ object SnapshotTable {
     Files.writeString(dir.resolve(s"snapshot-${m.snapshot}.json"), manifestJson(m))
   }
 
-  /** Resume an interrupted commit: partitions whose directories already
-    * exist under the (uncommitted) snapshot dir are kept as-is; the rest
-    * are computed from `df` and written. Produces the manifest the original
-    * commit would have produced.
+  /** Resume an interrupted commit: partitions whose directories carry the
+    * completion marker are kept as-is; unmarked directories are torn
+    * writes — deleted and recomputed along with the missing ones. Produces
+    * the manifest the original commit would have produced.
     */
   def resume(df: DataFrame, base: String, table: String, partCol: String,
              inputs: Seq[String] = Nil, seq: Long = 0L): Manifest = {
     val parent = latest(base, table)
     val snapId = parent.map(_.snapshot + 1).getOrElse(0L)
     val dataDir = Paths.get(base, table, "data", s"snapshot=$snapId")
+    val (complete, torn) = partitionDirs(dataDir, partCol)
+      .partition(p => Files.exists(p.resolve(Marker)))
+    torn.foreach(deleteRecursively)
     val existing: Set[String] =
-      if (!Files.exists(dataDir)) Set.empty
-      else Files.list(dataDir).iterator().asScala
-        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$partCol="))
-        .map(_.getFileName.toString.stripPrefix(s"$partCol=")).toSet
+      complete.map(_.getFileName.toString.stripPrefix(s"$partCol=")).toSet
 
     val missing = df.filter(!col(partCol).isin(existing.toSeq: _*))
     missing.write.mode(SaveMode.Append).partitionBy(partCol).parquet(dataDir.toString)
+    writeMarkers(dataDir, partCol)
 
     val manifest = Manifest(table, partCol, snapId, parent.map(_.snapshot).getOrElse(-1L),
       seq, inputs, writtenPartitions(df.sparkSession, dataDir, partCol, Map.empty, inputs).sortBy(_.key))

@@ -55,6 +55,15 @@ class TextOpsSpec extends SparkTestBase {
     assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "fr" && got(4L) == "es")
   }
 
+  test("slidingMins (monotonic deque) equals naive sliding-window min") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(16, 17, 50, 257); w <- Seq(2, 16)) {
+      val grams = Array.fill(n)(rnd.nextLong() % 1000) // duplicates likely
+      assert(TextOps.slidingMins(grams, w).toSeq ==
+        grams.sliding(w).map(_.min).toSeq, s"n=$n w=$w")
+    }
+  }
+
   test("winnowing fingerprints: shared substrings share fingerprints") {
     val shared = "the quick brown fox jumps over the lazy dog again and again today"
     val a = TextOps.fingerprints("AAA " + shared + " tail one")

@@ -53,6 +53,34 @@ class SnapshotSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("resume recomputes torn partitions (dir present, no completion marker)") {
+    val base1 = freshBase(); val base2 = freshBase()
+    val full = SnapshotTable.commit(docs(), base1, "documents", "lang")
+
+    // crash simulation: 'en' fully written AND marked complete; 'de' has a
+    // partition dir with only HALF its rows and NO marker (task-committed
+    // files of a job killed mid-flight). Pre-marker resume would have
+    // trusted the torn 'de' dir and silently lost rows.
+    val dataDir = Paths.get(base2, "documents", "data", "snapshot=0")
+    docs().filter($"lang" === "en")
+      .write.partitionBy("lang").parquet(dataDir.toString)
+    Files.writeString(dataDir.resolve("lang=en").resolve("_GRAFT_COMMITTED"), "")
+    val deIds = docs().filter($"lang" === "de").select("doc_id")
+      .as[Long].collect().sorted
+    docs().filter($"lang" === "de" && $"doc_id".isin(deIds.take(deIds.length / 2): _*))
+      .write.mode("append").partitionBy("lang").parquet(dataDir.toString)
+    assert(Files.exists(dataDir.resolve("lang=de")) &&
+      !Files.exists(dataDir.resolve("lang=de").resolve("_GRAFT_COMMITTED")))
+
+    val resumed = SnapshotTable.resume(docs(), base2, "documents", "lang")
+    assert(resumed.partitions.map(p => (p.key, p.rows)).sortBy(_._1) ==
+      full.partitions.map(p => (p.key, p.rows)).sortBy(_._1),
+      "torn 'de' partition must be recomputed in full")
+    val a = SnapshotTable.read(spark, base1, "documents").orderBy("doc_id").collect()
+    val b = SnapshotTable.read(spark, base2, "documents").orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
   test("merge: upserts + deletes rewrite only affected partitions, seq recorded") {
     val base = freshBase()
     SnapshotTable.commit(docs(), base, "documents", "lang")

@@ -82,4 +82,65 @@ class StreamingSpec extends SparkTestBase {
     val expected = events.select("user_id").distinct().as[Long].collect().sorted.toSeq
     assert(got == expected)
   }
+
+  test("session gap via mapGroupsWithState event-time timeout closes idle sessions") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val src = Files.createTempDirectory("graft_stream3")
+    // three files -> three micro-batches (maxFilesPerTrigger=1). The
+    // watermark advances to the previous batch's max event time, so the
+    // far-future "flush" events in files 2 and 3 drive the timeout for the
+    // sessions opened in file 1 (event-time timeout = deterministic,
+    // unlike processing-time).
+    // times start at 100s: the initial watermark is epoch 0, and an event
+    // AT the watermark is dropped as late by stateful operators
+    Seq((1L, 100L), (1L, 130L), (2L, 110L)).toDF("user_id", "epoch")
+      .coalesce(1).write.parquet(src.resolve("f1").toString)
+    Seq((99L, 3600L)).toDF("user_id", "epoch")
+      .coalesce(1).write.parquet(src.resolve("f2").toString)
+    Seq((98L, 7200L)).toDF("user_id", "epoch")
+      .coalesce(1).write.parquet(src.resolve("f3").toString)
+
+    val sessions = spark.readStream.schema("user_id LONG, epoch LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString + "/f*")
+      .withColumn("ts", timestamp_seconds($"epoch"))
+      .withWatermark("ts", "0 seconds")
+      // the watermarked column must stay in the Dataset for event-time timeout
+      .select($"user_id".as("_1"), $"epoch".as("_2"), $"ts".as("_3"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Boolean)](GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)], state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, _) = state.get
+            state.remove()
+            (user, n, true) // session closed by the 60s idle gap
+          } else {
+            val ts = rows.map(_._2).toSeq
+            val (n0, last0) = state.getOption.getOrElse((0L, 0L))
+            val last = math.max(last0, ts.max)
+            state.update((n0 + ts.size, last))
+            state.setTimeoutTimestamp((last + 60) * 1000) // ms epoch
+            (user, n0 + ts.size, false)
+          }
+      }
+
+    val q = sessions.toDF("user_id", "n", "closed")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sessions")
+      .option("checkpointLocation", Files.createTempDirectory("graft_stream3_ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val closed = spark.table("sessions").filter($"closed")
+      .select("user_id", "n").as[(Long, Long)].collect().toMap
+    // sessions 1 (2 events) and 2 (1 event) idle past the 60s gap once the
+    // watermark reaches 3600 -> closed by event-time timeout
+    assert(closed.get(1L).contains(2L) && closed.get(2L).contains(1L),
+      s"sessions 1 (2 events) and 2 (1 event) must close by timeout; got $closed")
+    // the last flush user's session cannot close (nothing advances the
+    // watermark past its timeout); user 99 may or may not close depending
+    // on whether AvailableNow runs a final timeout-only batch
+    assert(!closed.contains(98L))
+  }
 }

@@ -55,13 +55,24 @@ object SparkEntry {
     * derived from fixture inputs (octagon vertices), never from engine
     * output.
     */
-  private def polygonEdgeValues: String = {
+  private def polygonEdgeValues: String = edgeValues(Fixtures.oracleDims)
+
+  /** Like oracleDims but with the triangle (relId 995) appended: the pure
+    * -geometry SQL join (q_pip_sql, PipJoinRewrite) reaches it even though
+    * the cover index never does.
+    */
+  private def sqlOracleDims = Fixtures.oracleDims :+
+    (("regions", 995L, 4, "triangle", Fixtures.triangleRing,
+      Seq.empty[IndexedSeq[(Double, Double)]]))
+
+  private def edgeValues(dims: Seq[(String, Long, Int, String,
+      IndexedSeq[(Double, Double)], Seq[IndexedSeq[(Double, Double)]])]): String = {
     def edges(ring: IndexedSeq[(Double, Double)]): Seq[((Double, Double), (Double, Double))] = {
       val ccw = if (graft.geom.Algorithms.isClockwise(ring :+ ring.head)) ring.reverse else ring
       val closed = ccw :+ ccw.head
       closed.sliding(2).collect { case Seq(a, b) if a != b => (a, b) }.toSeq
     }
-    Fixtures.oracleDims.flatMap { case (layer, relId, _, _, outer, holes) =>
+    dims.flatMap { case (layer, relId, _, _, outer, holes) =>
       edges(outer).map { case ((x1, y1), (x2, y2)) =>
         s"('$layer', $relId, 'outer', ${fmt6(x1)}, ${fmt6(y1)}, ${fmt6(x2)}, ${fmt6(y2)})"
       } ++ holes.flatMap(h => edges(h).map { case ((x1, y1), (x2, y2)) =>
@@ -81,13 +92,15 @@ object SparkEntry {
     * must be strictly > 0; a hole excludes when its min-cross ≥ 0 (inside
     * OR on the hole ring — both are non-interior for the polygon).
     */
-  private def pipOracleCtes: String =
+  private def pipOracleCtes: String = pipCtes(polygonEdgeValues)
+
+  private def pipCtes(edgeVals: String): String =
     s"""WITH pages AS (${Fixtures.pagesCte}),
        |edges AS (SELECT layer, CAST(rel_id AS BIGINT) AS rel_id, role,
        |                 CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1,
        |                 CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2
        |          FROM (VALUES
-       |    $polygonEdgeValues
+       |    $edgeVals
        |  ) AS t(layer, rel_id, role, x1, y1, x2, y2)),
        |side AS (
        |  SELECT p.doc_id, p.url, e.layer, e.rel_id, e.role,
@@ -100,6 +113,11 @@ object SparkEntry {
        |  GROUP BY doc_id, url, layer, rel_id
        |  HAVING max(CASE WHEN role = 'outer' THEN mc END) > 0
        |     AND coalesce(max(CASE WHEN role = 'hole' THEN mc END) < 0, TRUE))""".stripMargin
+
+  /** pipOracleCtes over sqlOracleDims (triangle included) — the oracle for
+    * the pure-geometry SQL join path.
+    */
+  private def pipSqlOracleCtes: String = pipCtes(edgeValues(sqlOracleDims))
 
   private def pipMissingCtes: String =
     s"""$pipOracleCtes,
@@ -318,6 +336,20 @@ object SparkEntry {
       // J5/J6: the broadcast PIP join (flagship path)
       "q_pip_spatial" -> ((s, dir) => pipMatches(s, dir)
         .select(col("url"), col("layer"), col("relId").as("rel_id"))),
+      // SQL sugar: plain st_contains_point join, planned by PipJoinRewrite
+      // into the cover equi-join (pure-geometry semantics: the triangle
+      // relId 995, invisible to the cover index, IS reachable here)
+      "q_pip_sql" -> ((s, dir) => {
+        graft.Graft.install(s)
+        val (polys, _) = dims(s)
+        polys.select(col("relId"), col("layer"), col("wkb"))
+          .createOrReplaceTempView("graft_polys")
+        Fixtures.pages(s, dir).select("url", "lon", "lat")
+          .createOrReplaceTempView("graft_pages")
+        s.sql("""SELECT p.url, g.layer, g.relId AS rel_id
+                 FROM graft_pages p JOIN graft_polys g
+                 ON st_contains_point(g.wkb, p.lon, p.lat)""")
+      }),
       // J5 partitioned+salted variant — same rows by construction
       "q_pip_partitioned" -> ((s, dir) => {
         val (polys, covers) = dims(s)
@@ -399,6 +431,16 @@ object SparkEntry {
       }),
       // token counting (whitespace + BPE-ish regex)
       "q_token_counts" -> ((s, dir) => TextOps.tokenCounts(Fixtures.documents(s, dir))),
+      // near-dup clustering: exact shingle-Jaccard pairs via inverted
+      // index → connected components (large-star/small-star) → keeper
+      "q_jaccard_pairs" -> ((s, dir) =>
+        Clusters.jaccardPairs(Fixtures.documents(s, dir), 0.3)),
+      "q_dedup_clusters" -> ((s, dir) =>
+        Clusters.nearDupClusters(Fixtures.documents(s, dir), 0.3)),
+      "q_dedup_canonical" -> ((s, dir) => {
+        val docs = Fixtures.documents(s, dir)
+        Clusters.canonical(docs, Clusters.nearDupClusters(docs, 0.3))
+      }),
       // embedding near-dup: exact baseline (oracle-checked) + IVF-blocked
       "q_embed_pairs" -> ((s, dir) =>
         Similarity.embeddingDedupExact(
@@ -445,6 +487,11 @@ object SparkEntry {
 
     "q_pip_partitioned" ->
       s"""$pipOracleCtes
+         |SELECT url, layer, rel_id FROM contained""".stripMargin,
+
+    // pure-geometry SQL join (PipJoinRewrite path): triangle included
+    "q_pip_sql" ->
+      s"""$pipSqlOracleCtes
          |SELECT url, layer, rel_id FROM contained""".stripMargin,
 
     "q_pip_per_layer" ->
@@ -518,6 +565,32 @@ object SparkEntry {
         |         '[ \t\n\x0b\f\r]+[\t\n\x0b\f\r][^ \t\n\x0b\f\r]')) AS BIGINT) AS n_tokens_bpe
         |FROM documents""".stripMargin,
 
+    // Near-dup clustering family: exact word-3-gram Jaccard pairs, their
+    // connected components (min-reachable-id via recursive CTE — the
+    // oracle for the distributed large-star/small-star), and the
+    // longest-text keeper per cluster.
+    "q_jaccard_pairs" ->
+      s"""$jaccardCtes
+         |SELECT doc_a, doc_b,
+         |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jac
+         |FROM pairs""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""$dedupClusterCtes
+         |SELECT n AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY n""".stripMargin,
+
+    "q_dedup_canonical" ->
+      s"""$dedupClusterCtes,
+         |comp AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n),
+         |ranked AS (
+         |  SELECT c.cluster_id, d.doc_id,
+         |         row_number() OVER (PARTITION BY c.cluster_id
+         |                            ORDER BY length(d.text) DESC, d.doc_id) AS rn
+         |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+         |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, doc_id
+         |FROM ranked WHERE rn = 1""".stripMargin,
+
     // Language-ID: stopword-profile argmax, ties by lang DESC (the engine's
     // maxBy on (score, lang)); score = matched/total in exact double math.
     "q_lang_id" ->
@@ -539,6 +612,44 @@ object SparkEntry {
          |SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
          |       round(score, 6) AS score
          |FROM best WHERE rn = 1""".stripMargin)
+
+  /** Word-3-gram exact-Jaccard pair CTEs: the tokenizer is the engine's
+    * whitespace tokenizer; candidate generation in the oracle is all-pairs
+    * (fine at oracle scale) but filtered by the same exact Jaccard, so it
+    * equals the engine's inverted-index candidates (any pair with jac > 0
+    * shares a shingle).
+    */
+  private def jaccardCtes: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ts) >= 3 THEN
+      |      list_distinct(list_transform(generate_series(1, len(ts) - 2),
+      |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+      |    ELSE [] END AS s
+      |  FROM toks),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na, len(b.s) AS nb
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s)) > 0
+      |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3)""".stripMargin
+
+  /** jaccardCtes + min-reachable-id closure over the pair graph: the
+    * independent (recursive-CTE) ground truth for connected components.
+    */
+  private def dedupClusterCtes: String =
+    s"""WITH RECURSIVE ${jaccardCtes.stripPrefix("WITH ")},
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(n, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.n)""".stripMargin
 
   private def knnQueryValues: String =
     Seq(0, 1, 2, 3, 4).map { i =>

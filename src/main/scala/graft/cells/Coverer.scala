@@ -127,6 +127,49 @@ object Coverer {
     normalize(out.distinct.toArray)
   }
 
+  /** Smallest single cell (level ≤ MaxLevel) containing a lon/lat
+    * rectangle: the deepest level at which all four corners share one
+    * cell. Exact by construction (cells are axis-aligned grid squares, so
+    * four corners in one square ⇒ whole rectangle in it) — no
+    * vertex-approximate predicate involved.
+    */
+  def envelopeCell(minX: Double, minY: Double, maxX: Double, maxY: Double): Long = {
+    val corners = Array(Cell.leaf(minX, minY), Cell.leaf(minX, maxY),
+      Cell.leaf(maxX, minY), Cell.leaf(maxX, maxY))
+    var l = MaxLevel
+    while (l > 0 && corners.exists(c => Cell.parent(c, l) != Cell.parent(corners(0), l))) l -= 1
+    Cell.parent(corners(0), l)
+  }
+
+  /** Cover for the generic `ST_Contains`-join rewrite
+    * (graft.plans.PipJoinRewrite): `coverGeometry`, with an exact
+    * envelope-cell fallback for polygons the reference's coverer refuses
+    * (< 4-unique-point rings, lookup.go:183-189) but which still carry
+    * interior. The rewrite replaces a nested-loop join and must stay a
+    * superset index for ANY polygon, or it would silently drop matches the
+    * nested-loop plan finds; the fallback cell may be coarse (down to
+    * level 0 for meridian-straddling envelopes) but is only reached for
+    * degenerate-ring inputs. Always pairwise disjoint (normalize).
+    */
+  def coverForJoin(geom: org.locationtech.jts.geom.Geometry): Array[Long] = {
+    val c = coverGeometry(geom)
+    if (c.nonEmpty) c
+    else {
+      val out = mutable.ArrayBuffer[Long]()
+      var i = 0
+      while (i < geom.getNumGeometries) {
+        geom.getGeometryN(i) match {
+          case p: org.locationtech.jts.geom.Polygon if p.getArea > 0 =>
+            val e = p.getEnvelopeInternal
+            out += envelopeCell(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+          case _ =>
+        }
+        i += 1
+      }
+      normalize(out.distinct.toArray)
+    }
+  }
+
   /** Drop cells that have a strict ancestor in the set (covers stay a
     * superset of the geometry: the ancestor covers the descendant).
     */

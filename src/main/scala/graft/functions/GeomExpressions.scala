@@ -96,7 +96,8 @@ object PreparedCache {
 
 /** ST_Point(lon, lat) → WKB point. */
 case class STPoint(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
   override def dataType: DataType = BinaryType
   override def nullSafeEval(lon: Any, lat: Any): Any =
     Jts.toWkb(Jts.point(lon.asInstanceOf[Double], lat.asInstanceOf[Double]))
@@ -108,7 +109,8 @@ case class STPoint(left: Expression, right: Expression)
   * per-executor prepared cache (reference env.go:657-715).
   */
 case class STContainsPoint(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType, DoubleType)
   override def dataType: DataType = BooleanType
   override def nullSafeEval(wkb: Any, lon: Any, lat: Any): Any =
     PreparedCache.get(wkb.asInstanceOf[Array[Byte]])
@@ -124,7 +126,8 @@ case class STContainsPoint(first: Expression, second: Expression, third: Express
   * difference between O(1) and O(polygon bytes) per page at scale.
   */
 case class STContainsPointKeyed(children: Seq[Expression])
-    extends Expression with CodegenFallback {
+    extends Expression with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, BinaryType, DoubleType, DoubleType)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = children.exists(_.nullable)
   override def eval(input: InternalRow): Any = {
@@ -152,7 +155,8 @@ case class STContainsPointKeyed(children: Seq[Expression])
   * geometries.go:240-247).
   */
 case class STIntersects(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
   override def dataType: DataType = BooleanType
   override def nullSafeEval(a: Any, b: Any): Any =
     PreparedCache.get(a.asInstanceOf[Array[Byte]])
@@ -165,7 +169,8 @@ case class STIntersects(left: Expression, right: Expression)
   * are dropped, geometries.go:136-140 semantics).
   */
 case class STDifference(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -176,7 +181,8 @@ case class STDifference(left: Expression, right: Expression)
 }
 
 /** ST_Buffer0(wkb) — self-intersection repair (storage.go:101-105). */
-case class STBuffer0(child: Expression) extends UnaryExpression with CodegenFallback {
+case class STBuffer0(child: Expression) extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def nullSafeEval(a: Any): Any =
@@ -186,7 +192,8 @@ case class STBuffer0(child: Expression) extends UnaryExpression with CodegenFall
   override def prettyName: String = "st_buffer0"
 }
 
-case class STArea(child: Expression) extends UnaryExpression with CodegenFallback {
+case class STArea(child: Expression) extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any): Any =
     Jts.fromWkb(a.asInstanceOf[Array[Byte]]).getArea
@@ -203,7 +210,8 @@ object STEnvelope {
 }
 
 /** ST_Envelope(wkb) → struct(minx,miny,maxx,maxy) (bbox, util.go:18-57). */
-case class STEnvelope(child: Expression) extends UnaryExpression with CodegenFallback {
+case class STEnvelope(child: Expression) extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = STEnvelope.schema
   override def nullSafeEval(a: Any): Any = {
     val env = Jts.fromWkb(a.asInstanceOf[Array[Byte]]).getEnvelopeInternal
@@ -218,7 +226,8 @@ case class STEnvelope(child: Expression) extends UnaryExpression with CodegenFal
   * boundary around the tiling / partitioned-join key computation).
   */
 case class STCellAt(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType, IntegerType)
   override def dataType: DataType = LongType
   override def nullSafeEval(lon: Any, lat: Any, level: Any): Any =
     Cell.cellAt(lon.asInstanceOf[Double], lat.asInstanceOf[Double], level.asInstanceOf[Int])
@@ -233,7 +242,8 @@ case class STCellAt(first: Expression, second: Expression, third: Expression)
   * ancestor cell ids — the probe side of the cover/ancestor PIP equi-join.
   */
 case class STCellAncestors(children: Seq[Expression])
-    extends Expression with CodegenFallback {
+    extends Expression with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType, IntegerType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = children.exists(_.nullable)
   override def eval(input: InternalRow): Any = {
@@ -256,7 +266,8 @@ case class STCellAncestors(children: Seq[Expression])
 /** ST_CellCover(wkb) → array of cover cell ids for all polygons of the
   * geometry, the reference's RegionCoverer parameters (lookup.go:176-199).
   */
-case class STCellCover(child: Expression) extends UnaryExpression with CodegenFallback {
+case class STCellCover(child: Expression) extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(a: Any): Any =
     new GenericArrayData(Coverer.coverGeometry(Jts.fromWkb(a.asInstanceOf[Array[Byte]])))
@@ -264,9 +275,24 @@ case class STCellCover(child: Expression) extends UnaryExpression with CodegenFa
   override def prettyName: String = "st_cell_cover"
 }
 
+/** ST_CellCoverJoin(wkb) → pairwise-disjoint cover cells for the generic
+  * `ST_Contains`-join rewrite (graft.plans.PipJoinRewrite): coverGeometry
+  * plus an exact envelope-cell fallback so the rewrite is a superset index
+  * for any polygon with interior (Coverer.coverForJoin).
+  */
+case class STCellCoverJoin(child: Expression) extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    new GenericArrayData(Coverer.coverForJoin(Jts.fromWkb(a.asInstanceOf[Array[Byte]])))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "st_cell_cover_join"
+}
+
 /** ST_SimplifyVW(wkb, threshold) — Visvalingam per-ring (water.go:163-177). */
 case class STSimplifyVW(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def nullSafeEval(a: Any, t: Any): Any = {
@@ -283,7 +309,8 @@ case class STSimplifyVW(left: Expression, right: Expression)
 }
 
 /** ST_GeoDistance(lon1, lat1, lon2, lat2) → meters (export.go:75 metric). */
-case class STGeoDistance(children: Seq[Expression]) extends Expression with CodegenFallback {
+case class STGeoDistance(children: Seq[Expression]) extends Expression with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType, DoubleType, DoubleType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = children.exists(_.nullable)
   override def eval(input: InternalRow): Any = {
@@ -341,22 +368,31 @@ object GeomExpressions {
     }
   }
 
+  /** name → builder for every SQL-callable ST function — the single list
+    * behind both `register` (temp functions on an existing session) and
+    * `graft.GraftExtensions` (spark.sql.extensions injection).
+    */
+  val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "st_point" -> (es => STPoint(es(0), es(1))),
+    "st_contains_point" -> (es => STContainsPoint(es(0), es(1), es(2))),
+    "st_contains_point_keyed" -> (es => STContainsPointKeyed(es)),
+    "st_intersects" -> (es => STIntersects(es(0), es(1))),
+    "st_difference" -> (es => STDifference(es(0), es(1))),
+    "st_buffer0" -> (es => STBuffer0(es(0))),
+    "st_area" -> (es => STArea(es(0))),
+    "st_envelope" -> (es => STEnvelope(es(0))),
+    "st_cell_at" -> (es => STCellAt(es(0), es(1), es(2))),
+    "st_cell_ancestors" -> (es => STCellAncestors(es)),
+    "st_cell_cover" -> (es => STCellCover(es(0))),
+    "st_cell_cover_join" -> (es => STCellCoverJoin(es(0))),
+    "st_simplify_vw" -> (es => STSimplifyVW(es(0), es(1))),
+    "st_geo_distance" -> (es => STGeoDistance(es)))
+
   /** Register SQL-callable versions (used by tests and spark.sql parity). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def put(name: String, b: Seq[Expression] => Expression): Unit =
+    registrations.foreach { case (name, b) =>
       reg.createOrReplaceTempFunction(name, b, "built-in")
-    put("st_point", es => STPoint(es(0), es(1)))
-    put("st_contains_point", es => STContainsPoint(es(0), es(1), es(2)))
-    put("st_intersects", es => STIntersects(es(0), es(1)))
-    put("st_difference", es => STDifference(es(0), es(1)))
-    put("st_buffer0", es => STBuffer0(es(0)))
-    put("st_area", es => STArea(es(0)))
-    put("st_envelope", es => STEnvelope(es(0)))
-    put("st_cell_at", es => STCellAt(es(0), es(1), es(2)))
-    put("st_cell_ancestors", es => STCellAncestors(es))
-    put("st_cell_cover", es => STCellCover(es(0)))
-    put("st_simplify_vw", es => STSimplifyVW(es(0), es(1)))
-    put("st_geo_distance", es => STGeoDistance(es))
+    }
   }
 }

@@ -100,6 +100,14 @@ object Fixtures {
         math.rint((cy + r * math.sin(th)) * 1e6) / 1e6)
     }
 
+  /** Only 3 unique points: assembles to a valid triangle polygon, but the
+    * reference coverer refuses < 4-unique-point rings (lookup.go:183-185),
+    * so it is unreachable through the cover index — reachable only through
+    * pure-geometry paths (the PipJoinRewrite SQL sugar).
+    */
+  val triangleRing: IndexedSeq[(Double, Double)] =
+    IndexedSeq((40.0, 10.0), (41.0, 10.0), (40.0, 11.0))
+
   /** The duplicated-consecutive-point ring (Hoorn regression input). */
   def dupRing: IndexedSeq[(Double, Double)] = {
     val o = octagon(10.0, 45.0, 1.0)
@@ -190,8 +198,7 @@ object Fixtures {
     addRelation(996, Map("admin_level" -> "4", "name" -> "dup_point"), dupRing)
     // only 3 unique points: assembles to a (degenerate) polygon but its
     // cover is empty (lookup.go:183-185) -> never matched via the index
-    val triRing = IndexedSeq((40.0, 10.0), (41.0, 10.0), (40.0, 11.0))
-    addRelation(995, Map("admin_level" -> "4", "name" -> "triangle"), triRing)
+    addRelation(995, Map("admin_level" -> "4", "name" -> "triangle"), triangleRing)
 
     // orphan rows exercising the needed-id semi-joins (S3)
     nodes += Node(900001L, 0.0, 0.0)

@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+
+import graft.{Graft, GraftExtensions, SparkTestBase}
+import graft.cells.{Cell, Coverer}
+import graft.geom.Jts
+import graft.operators.Ingest
+import graft.sources.Fixtures
+
+/** The SQL-sugar path: GraftExtensions / Graft.install register the ST
+  * functions and inject PipJoinRewrite, so a *plain SQL* containment join
+  * plans as the cover equi-join and still returns exactly the rows of the
+  * nested-loop plan it replaces (pure-geometry semantics, degenerate-ring
+  * polygons included).
+  */
+class ExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  lazy val polys = Ingest.polygons(spark, Fixtures.nodesDf(spark), Fixtures.waysDf(spark),
+    Fixtures.relationsDf(spark), Fixtures.blacklist).cache()
+  lazy val pages = Fixtures.pages(spark, sf0001).cache()
+
+  /** Pure-geometry brute force (NO index): every polygon row, 995's
+    * triangle included — the ground truth a nested-loop plan computes.
+    */
+  private def bruteForce(): Set[(String, String, Long)] = {
+    val dims = polys.select("relId", "layer", "wkb").as[(Long, String, Array[Byte])]
+      .collect().map { case (relId, layer, wkb) =>
+        (relId, layer, Jts.prepare(Jts.fromWkb(wkb)))
+      }
+    val pts = pages.select("url", "lon", "lat").as[(String, Double, Double)].collect()
+    (for {
+      (url, lon, lat) <- pts
+      (relId, layer, prep) <- dims
+      if prep.contains(Jts.point(lon, lat))
+    } yield (url, layer, relId)).toSet
+  }
+
+  /** Register the join inputs as temp views *in `s`* (views are
+    * session-scoped) and run the plain-SQL containment join there.
+    */
+  private def sqlJoin(s: SparkSession) = {
+    val p = polys.select("relId", "layer", "wkb")
+    val pg = pages.select("url", "lon", "lat")
+    s.createDataFrame(p.collectAsList(), p.schema).createOrReplaceTempView("graft_polys")
+    s.createDataFrame(pg.collectAsList(), pg.schema).createOrReplaceTempView("graft_pages")
+    s.sql("""SELECT p.url, g.layer, g.relId
+             FROM graft_pages p JOIN graft_polys g
+             ON st_contains_point(g.wkb, p.lon, p.lat)""")
+  }
+
+  test("coverForJoin: envelope fallback keeps degenerate-ring polygons indexable") {
+    val tri = Jts.polygon(IndexedSeq((40.0, 10.0), (41.0, 10.0), (40.0, 11.0), (40.0, 10.0)))
+    assert(Coverer.coverGeometry(tri).isEmpty, "reference coverer refuses < 4-point rings")
+    val cells = Coverer.coverForJoin(tri)
+    assert(cells.nonEmpty)
+    // superset: the envelope cell contains every leaf inside the triangle
+    val probes = Seq((40.2, 10.2), (40.5, 10.4), (40.9, 10.05))
+    probes.foreach { case (lon, lat) =>
+      val leaf = Cell.leaf(lon, lat)
+      assert(cells.exists(c => Cell.contains(c, leaf)), s"($lon,$lat) not covered")
+    }
+    // disjoint: no cell is an ancestor of another
+    for (a <- cells; b <- cells if a != b) assert(!Cell.contains(a, b))
+  }
+
+  test("PipJoinRewrite: SQL containment join == nested-loop ground truth, no cartesian plan") {
+    Graft.install(spark)
+    val df = sqlJoin(spark)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"expected the cover equi-join, got:\n$plan")
+    val got = df.as[(String, String, Long)].collect().toSet
+    assert(got == bruteForce())
+    // the triangle (empty reference cover) must still be matchable via SQL
+    assert(got.exists(_._3 == 995L) == bruteForce().exists(_._3 == 995L))
+  }
+
+  test("PipJoinRewrite reaches cover-index-invisible polygons (triangle 995)") {
+    Graft.install(spark)
+    polys.select("relId", "layer", "wkb").createOrReplaceTempView("graft_polys")
+    // a point strictly inside the triangle — the cover index can never
+    // return it (empty reference cover), the SQL path must
+    Seq(("tri_probe", 40.2, 10.3), ("far_away", -120.0, -45.0))
+      .toDF("url", "lon", "lat").createOrReplaceTempView("graft_probe")
+    val got = spark.sql(
+      """SELECT p.url, g.relId FROM graft_probe p JOIN graft_polys g
+        |ON st_contains_point(g.wkb, p.lon, p.lat)""".stripMargin)
+      .as[(String, Long)].collect().toSet
+    assert(got.contains(("tri_probe", 995L)))
+    assert(!got.exists(_._1 == "far_away"))
+  }
+
+  test("PipJoinRewrite leaves equi-key joins alone") {
+    Graft.install(spark)
+    val df = spark.sql(
+      """SELECT p.url, g.layer FROM graft_pages p JOIN graft_polys g
+        |ON p.url = g.layer AND st_contains_point(g.wkb, p.lon, p.lat)""".stripMargin)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("st_cell_cover_join"), s"must not rewrite:\n$opt")
+  }
+
+  test("spark.sql.extensions=graft.GraftExtensions registers functions + rule") {
+    val old = spark // force shared-session init before swapping
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // spark.sql.extensions is a *static* conf: getOrCreate reads it from the
+    // SparkContext conf (where spark-submit --conf puts it), not from
+    // builder options when the context is reused — so emulate spark-submit.
+    org.apache.spark.graft.TestBridge.liveConf(old.sparkContext)
+      .set("spark.sql.extensions", classOf[GraftExtensions].getName)
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+      assert(s2 ne old)
+      // functions resolve with no explicit register() call
+      assert(s2.sql(s"SELECT st_cell_at(4.35, 50.85, 8) AS c").head().getLong(0) ==
+        Cell.cellAt(4.35, 50.85, 8))
+      // and the optimizer rule is injected
+      val df = sqlJoin(s2)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+      assert(df.count() == bruteForce().size)
+    } finally {
+      org.apache.spark.graft.TestBridge.liveConf(old.sparkContext)
+        .remove("spark.sql.extensions")
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+}

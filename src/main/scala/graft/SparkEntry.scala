@@ -246,7 +246,38 @@ object SparkEntry {
     "q_scalar_subquery" ->
       """SELECT doc_id,
         |       CAST(n_chars - (SELECT CAST(round(avg(n_chars)) AS BIGINT) FROM documents) AS BIGINT) AS chars_vs_avg
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Stratified sampling for training-mix rebalance: per-language keep
+    // rates via a deterministic multiplicative-hash threshold — map-side
+    // only (no shuffle, no per-stratum sort), the shape that survives
+    // 100 TB. Same arithmetic in both dialects (int64-exact).
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 1000 <
+        |      CASE lang WHEN 'en' THEN 500 WHEN 'nl' THEN 300 ELSE 100 END""".stripMargin,
+
+    // TF-IDF top-3 terms per document (keyword extraction): tf and df are
+    // partial-aggregable groupBys on the exploded term table; top-k is a
+    // per-doc window. DuckDB list dialect; Spark variant via overrides.
+    "q_tfidf_topk" ->
+      """WITH terms AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tfidf
+        |FROM ranked WHERE rnk <= 3""".stripMargin
   )
 
   /** Spark-SQL dialect tweaks where the shared text can't be identical.
@@ -256,7 +287,12 @@ object SparkEntry {
     // DuckDB epoch(ts) ⇔ Spark unix_timestamp(ts) (same integral result
     // for our microsecond-precision timestamps; see q_stream_window note)
     "q_stream_window" -> sharedSql("q_stream_window")
-      .replace("epoch(ts)", "unix_timestamp(ts)")
+      .replace("epoch(ts)", "unix_timestamp(ts)"),
+    // DuckDB list dialect ⇔ Spark array dialect, same semantics
+    "q_tfidf_topk" -> sharedSql("q_tfidf_topk")
+      .replace("unnest(", "explode(")
+      .replace("list_filter(", "filter(")
+      .replace("regexp_split_to_array(", "split(")
   )
 
   // ---- engine-native helpers ----------------------------------------------
@@ -590,6 +626,38 @@ object SparkEntry {
          |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
          |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, doc_id
          |FROM ranked WHERE rn = 1""".stripMargin,
+
+    // Multimodal metadata: the decode step is a deterministic stub
+    // (sandbox has no codecs) whose math — java.util.Arrays.hashCode over
+    // the payload bytes, int32 wraparound — is replicated here exactly
+    // (payloads are ASCII, so ord(char) == byte). This checks the real
+    // plumbing end-to-end: payload construction, batching, schema.
+    "q_media_meta" ->
+      s"""WITH pages AS (${Fixtures.pagesCte}),
+         |media AS (
+         |  SELECT url, '<html><body>' || text || '</body></html>' AS payload
+         |  FROM pages),
+         |hashed AS (
+         |  SELECT url, payload,
+         |    list_reduce(
+         |      list_prepend(CAST(1 AS BIGINT),
+         |        list_transform(generate_series(1, length(payload)),
+         |                       i -> CAST(ord(payload[i]) AS BIGINT))),
+         |      (a, b) -> ((31 * a + b + 2147483648) % 4294967296 + 4294967296)
+         |                % 4294967296 - 2147483648) AS h
+         |  FROM media),
+         |meta AS (
+         |  SELECT url, h, length(payload) AS byteLen,
+         |    CASE h & 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |               WHEN 2 THEN 'video' ELSE 'image' END AS kind,
+         |    64 + abs(h) % 1024 AS width,
+         |    64 + abs(CAST(trunc(h / 7.0) AS BIGINT)) % 1024 AS height
+         |  FROM hashed)
+         |SELECT url, kind, CAST(byteLen AS BIGINT) AS byteLen,
+         |       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+         |       CAST(CASE WHEN kind = 'image' THEN 0
+         |                 ELSE 1000 + abs(h) % 600000 END AS BIGINT) AS durationMs
+         |FROM meta""".stripMargin,
 
     // Language-ID: stopword-profile argmax, ties by lang DESC (the engine's
     // maxBy on (score, lang)); score = matched/total in exact double math.

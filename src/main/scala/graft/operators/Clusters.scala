@@ -19,11 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Clusters {
 
-  /** Word n-gram Jaccard candidate pairs via an inverted shingle index —
-    * candidates are generated by a shuffle on the shingle (docs sharing at
-    * least one shingle), never all-pairs, so the plan scales with
-    * sum(postings²) per shingle, not n². Exact Jaccard (no sketch): any
-    * pair with jac > 0 shares a shingle, so the index loses nothing.
+  /** Word n-gram exact-Jaccard pairs with **prefix filtering** (the
+    * published SSJoin/PPJoin scheme): under a global total order on
+    * shingles by (document frequency asc, shingle), a pair with
+    * Jaccard ≥ t must share an element within the first
+    * `|s| − ⌈t·|s|⌉ + 1` shingles of BOTH docs (pigeonhole on
+    * |A∩B| ≥ ⌈t·|A|⌉, the smallest shared element is in both prefixes).
+    * So only prefixes are joined — rare shingles first, which is exactly
+    * what defuses hot boilerplate shingles — and the few candidates are
+    * verified with exact Jaccard over the full shingle sets. LOSSLESS:
+    * identical output to the all-pairs join (ClustersSpec brute-force
+    * equality; DuckDB oracle `q_jaccard_pairs`).
     *
     * Output: (doc_a, doc_b, jac) with doc_a < doc_b, jac >= threshold.
     */
@@ -35,15 +41,30 @@ object Clusters {
         array_distinct(transform(sequence(lit(1), size(col("ts")) - (shingleLen - 1)),
           i => array_join(slice(col("ts"), i, lit(shingleLen)), " "))))
         .otherwise(array().cast("array<string>")).as("s"))
+
     val posts = shingled
       .select(col("doc_id"), size(col("s")).as("nsh"), explode(col("s")).as("sh"))
-    val a = posts.select(col("doc_id").as("doc_a"), col("nsh").as("nsh_a"), col("sh"))
-    val b = posts.select(col("doc_id").as("doc_b"), col("nsh").as("nsh_b"), col("sh"))
-    a.join(b, Seq("sh"))
+    val dfreq = posts.groupBy("sh").agg(count(lit(1)).as("df"))
+    // per-doc rank under the global (df, sh) order; keep only the prefix
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    val prefix = posts.join(dfreq, "sh")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
+      .select("doc_id", "sh")
+
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"), first("nsh_a").as("na"), first("nsh_b").as("nb"))
-      .withColumn("jac", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .select("doc_a", "doc_b")
+      .distinct()
+
+    // exact verification over the full shingle sets (candidates are few)
+    cand
+      .join(shingled.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
+      .join(shingled.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
   }
@@ -85,9 +106,13 @@ object Clusters {
     * per-edge hashes — one cheap aggregate per round, no except() join).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    // materialize the (possibly expensive) edge derivation once before
+    // iterating — every round re-reads the previous round's checkpoint,
+    // never the upstream pair generation
     var e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint()
     var prev = (-1L, -1L, -1L)
     var it = 0
     var stable = false
@@ -107,18 +132,21 @@ object Clusters {
       .distinct()
   }
 
-  /** (doc_id, cluster_id) for EVERY document: component min for docs in a
-    * near-dup cluster, own id for singletons.
+  /** (doc_id, cluster_id) for EVERY document given a (doc_a, doc_b) pair
+    * table: component min for docs in a near-dup cluster, own id for
+    * singletons.
     */
-  def nearDupClusters(docs: DataFrame, threshold: Double, shingleLen: Int = 3): DataFrame = {
-    val pairs = jaccardPairs(docs, threshold, shingleLen)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val comp = connectedComponents(pairs)
+  def labelClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
       .withColumnRenamed("id", "doc_id")
     docs.select("doc_id").join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("cluster_id"))
   }
+
+  def nearDupClusters(docs: DataFrame, threshold: Double, shingleLen: Int = 3): DataFrame =
+    labelClusters(docs, jaccardPairs(docs, threshold, shingleLen))
 
   /** One keeper per cluster: longest text wins, ties by smallest doc_id —
     * the "keep best copy" step of a dedup pipeline.

@@ -497,6 +497,11 @@ object SparkEntry {
       }),
       // token counting (whitespace + BPE-ish regex)
       "q_token_counts" -> ((s, dir) => TextOps.tokenCounts(Fixtures.documents(s, dir))),
+      // per-row input invariant: text extracted from the html payload is
+      // byte-identical to the source text (hash equality vs the oracle)
+      "q_extract_text" -> ((s, dir) =>
+        TextOps.extractText(Fixtures.pages(s, dir))
+          .select(col("url"), md5(col("extracted")).as("text_md5"))),
       // near-dup clustering: exact shingle-Jaccard pairs via inverted
       // index → connected components (large-star/small-star) → keeper
       "q_jaccard_pairs" -> ((s, dir) => jacPairs(s, dir)),
@@ -652,6 +657,12 @@ object SparkEntry {
          |  FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
          |SELECT CAST(cluster_id AS BIGINT) AS cluster_id, doc_id
          |FROM ranked WHERE rn = 1""".stripMargin,
+
+    // Per-row invariant (input_hint): the engine-extracted text hashes
+    // equal to md5 of the SOURCE text column — byte-identity per url.
+    "q_extract_text" ->
+      s"""WITH pages AS (${Fixtures.pagesCte})
+         |SELECT url, md5(text) AS text_md5 FROM pages""".stripMargin,
 
     // Multimodal metadata: the decode step is a deterministic stub
     // (sandbox has no codecs) whose math — java.util.Arrays.hashCode over

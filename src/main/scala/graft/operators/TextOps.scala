@@ -16,6 +16,18 @@ object TextOps {
   def tokens(text: String): Array[String] =
     text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
 
+  /** Text extraction from the raw `html` binary column — the per-row
+    * invariant of the input contract is that extracted text stays
+    * BYTE-IDENTICAL per url (driver query `q_extract_text` proves it by
+    * hash equality against the source `text`). Tag-strip regex is enough
+    * for the fixture corpus's wrapper markup; a production build swaps in
+    * a real parser behind the same (url, extracted) schema. Pure column
+    * expressions: map-side, codegen'd, no shuffle.
+    */
+  def extractText(pages: DataFrame): DataFrame =
+    pages.select(col("url"),
+      regexp_replace(decode(col("html"), "UTF-8"), "<[^>]*>", "").as("extracted"))
+
   // ---- sketches (per-row, shuffle-free) ----------------------------------
 
   val NumMinHashes = 32

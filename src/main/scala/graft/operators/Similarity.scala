@@ -109,30 +109,38 @@ object Similarity {
   /** IVF index: seeded with the embeddings of the lowest vec_ids, then
     * refined by `iterations` Lloyd steps (assign → recompute means —
     * normalized, deterministic: array-order summation, vec_id-stable
-    * tie-breaks). Assignment is a shuffle-free broadcast pass; the mean
-    * recomputation is one partial-aggregable groupBy per iteration.
+    * tie-breaks). Assignment is a broadcast pass whose per-vector argmax
+    * is a partial-aggregable groupBy (max of a (csim, -centroid_id)
+    * struct — NOT a window, which would shuffle all n×k candidate rows);
+    * the mean recomputation is one partial-aggregable groupBy per
+    * iteration. `nCentroids <= 0` picks ≈√n (the standard IVF nlist
+    * heuristic), so the index grows with the data instead of pinning a
+    * fixture-sized constant.
     */
   case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
 
   def ivfAssign(embeddings: DataFrame, nCentroids: Int, iterations: Int = 2): DataFrame =
     ivfIndex(embeddings, nCentroids, iterations).assigned
 
-  def ivfIndex(embeddings: DataFrame, nCentroids: Int, iterations: Int = 2): IvfIndex = {
+  def ivfIndex(embeddings: DataFrame, nCentroids: Int = 0, iterations: Int = 2): IvfIndex = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val emb = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
       .cache()
+    val k =
+      if (nCentroids > 0) nCentroids
+      else math.max(16, math.sqrt(emb.count().toDouble).toInt)
 
-    def assign(centroids: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id"))
+    def assign(centroids: DataFrame): DataFrame =
       emb.crossJoin(broadcast(centroids))
         .withColumn("csim", cosine(col("vec"), col("cvec")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("vec"), col("centroid_id"))
-    }
+        // argmax by (csim desc, centroid_id asc): lexicographic struct max
+        .groupBy("vec_id")
+        .agg(first(col("vec")).as("vec"),
+          max(struct(col("csim"), (-col("centroid_id")).as("nid"))).as("best"))
+        .select(col("vec_id"), col("vec"), (-col("best.nid")).as("centroid_id"))
 
-    var centroids = emb.orderBy("vec_id").limit(nCentroids)
+    var centroids = emb.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
     var assigned = assign(centroids)
     for (_ <- 1 to iterations) {
@@ -154,7 +162,7 @@ object Similarity {
     * bruteForceTopK; recall < 1 by construction (validated in tests).
     */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+              nCentroids: Int = 0, nProbe: Int = 4): DataFrame = {
     val index = ivfIndex(embeddings, nCentroids)
     val assigned = index.assigned.cache()
     val centroids = index.centroids

@@ -150,7 +150,8 @@ object TextOps {
     * (band, bandHash); verification joins text back for the (few)
     * candidate pairs only.
     */
-  def minhashDedup(documents: DataFrame, threshold: Double = 0.7): DataFrame = {
+  def minhashDedup(documents: DataFrame, threshold: Double = 0.7,
+                   maxBucket: Int = 10000): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val rows = NumMinHashes / Bands
@@ -158,12 +159,20 @@ object TextOps {
     val sketches = documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) => DocSketch(id, minHashes(text).toSeq) }
 
-    val buckets = sketches.flatMap { s =>
+    val buckets0 = sketches.flatMap { s =>
       (0 until Bands).iterator.map { b =>
         val slice = s.minhashes.slice(b * rows, (b + 1) * rows)
         (b, MurmurHash3.orderedHash(slice, b).toLong, s.doc_id)
       }
     }.toDF("band", "bandHash", "doc_id")
+
+    // skew bound: drop over-full buckets (near-identical boilerplate all
+    // hashing to one band value) — same cap + recall caveat as
+    // simhashDedup; never triggers at fixture scale (goldens unchanged)
+    val small = buckets0.groupBy("band", "bandHash")
+      .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBucket)
+      .select("band", "bandHash")
+    val buckets = buckets0.join(small, Seq("band", "bandHash"))
 
     val pairs = buckets.as("a")
       .join(buckets.as("b"), Seq("band", "bandHash"))
@@ -187,17 +196,31 @@ object TextOps {
     * within Hamming distance 3 shares ≥1 band — pigeonhole), then exact
     * Hamming verification ≤ `maxHamming`.
     */
-  def simhashDedup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** `maxBucket` bounds the quadratic (band, bandVal) self-join: buckets
+    * larger than it (near-constant boilerplate docs hashing to one
+    * simhash band value — the skew case at corpus scale) are dropped from
+    * candidate generation, with the documented recall consequence that
+    * pairs found ONLY through an over-full bucket are missed. The default
+    * never triggers at fixture scale (goldens unchanged) but caps the
+    * worst case at 100× from quadratic to maxBucket² per bucket.
+    */
+  def simhashDedup(documents: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 10000): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
     val sketches = documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) => (id, simHash(t)) }
       .toDF("doc_id", "simhash")
 
-    val banded = sketches.select(col("doc_id"), col("simhash"),
+    val banded0 = sketches.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), expr(s"(simhash >> ${b * 16}) & 65535").as("bandVal"))): _*)).as("bd"))
       .select(col("doc_id"), col("simhash"), col("bd.band"), col("bd.bandVal"))
+
+    val small = banded0.groupBy("band", "bandVal")
+      .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBucket)
+      .select("band", "bandVal")
+    val banded = banded0.join(small, Seq("band", "bandVal"))
 
     banded.as("a").join(banded.as("b"), Seq("band", "bandVal"))
       .filter(col("a.doc_id") < col("b.doc_id"))

@@ -248,6 +248,27 @@ object SparkEntry {
         |       CAST(n_chars - (SELECT CAST(round(avg(n_chars)) AS BIGINT) FROM documents) AS BIGINT) AS chars_vs_avg
         |FROM documents""".stripMargin,
 
+    // Per-source corpus accounting (the Common-Crawl "stats by crawl/
+    // domain" op): one partial-aggregable groupBy.
+    "q_source_stats" ->
+      """SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |       count(DISTINCT lang) AS n_langs, min(doc_id) AS first_doc
+        |FROM documents GROUP BY source""".stripMargin,
+
+    // Per-language length outliers (|x - mean| > 2 sigma) in EXACT integer
+    // arithmetic — (n*x - s)^2 > 4*(n*ss - s^2) multiplies the float
+    // z-score inequality through by n^2, so both engines compute identical
+    // BIGINT values (no float-summation-order divergence in the hash).
+    "q_outliers" ->
+      """WITH stats AS (
+        |  SELECT lang, count(*) AS n, sum(n_chars) AS s,
+        |         sum(n_chars * n_chars) AS ss
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN stats t ON d.lang = t.lang
+        |WHERE (t.n * d.n_chars - t.s) * (t.n * d.n_chars - t.s)
+        |      > 4 * (t.n * t.ss - t.s * t.s)""".stripMargin,
+
     // Stratified sampling for training-mix rebalance: per-language keep
     // rates via a deterministic multiplicative-hash threshold — map-side
     // only (no shuffle, no per-stratum sort), the shape that survives

@@ -92,6 +92,21 @@ class ExtensionsSpec extends SparkTestBase {
     assert(!got.exists(_._1 == "far_away"))
   }
 
+  test("PipJoinRewrite: swapped sides and extra residual conjuncts") {
+    Graft.install(spark)
+    polys.select("relId", "layer", "wkb").createOrReplaceTempView("graft_polys")
+    pages.select("url", "lon", "lat").createOrReplaceTempView("graft_pages")
+    // polygons on the LEFT, plus a non-equi residual conjunct
+    val df = spark.sql(
+      """SELECT p.url, g.layer, g.relId
+        |FROM graft_polys g JOIN graft_pages p
+        |ON st_contains_point(g.wkb, p.lon, p.lat) AND g.layer != 'water'""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+    val got = df.as[(String, String, Long)].collect().toSet
+    assert(got == bruteForce().filter(_._2 != "water"))
+  }
+
   test("PipJoinRewrite leaves equi-key joins alone") {
     Graft.install(spark)
     val df = spark.sql(

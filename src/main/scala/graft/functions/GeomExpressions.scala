@@ -92,6 +92,16 @@ object PreparedCache {
       prepared
     }
   }
+
+  // Static entry points for generated code (doGenCode emits a plain
+  // static call — keeps the PIP refine inside whole-stage codegen, no
+  // InternalRow boxing per candidate row).
+  def containsKeyed(id: Long, wkb: Array[Byte], lon: Double, lat: Double): Boolean =
+    getLocator(id, wkb).locate(new org.locationtech.jts.geom.Coordinate(lon, lat)) ==
+      org.locationtech.jts.geom.Location.INTERIOR
+
+  def containsPoint(wkb: Array[Byte], lon: Double, lat: Double): Boolean =
+    get(wkb).contains(Jts.point(lon, lat))
 }
 
 /** ST_Point(lon, lat) → WKB point. */
@@ -106,15 +116,21 @@ case class STPoint(left: Expression, right: Expression)
 }
 
 /** ST_Contains(polyWkb, lon, lat) — exact point-in-polygon refine with the
-  * per-executor prepared cache (reference env.go:657-715).
+  * per-executor prepared cache (reference env.go:657-715). Codegen'd as a
+  * static call: the refine rides join conditions / post-join filters, and
+  * a fallback expression there would box an InternalRow per candidate row.
   */
 case class STContainsPoint(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    extends TernaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType, DoubleType)
   override def dataType: DataType = BooleanType
   override def nullSafeEval(wkb: Any, lon: Any, lat: Any): Any =
-    PreparedCache.get(wkb.asInstanceOf[Array[Byte]])
-      .contains(Jts.point(lon.asInstanceOf[Double], lat.asInstanceOf[Double]))
+    PreparedCache.containsPoint(wkb.asInstanceOf[Array[Byte]],
+      lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, (wkb, lon, lat) =>
+      s"graft.functions.PreparedCache.containsPoint($wkb, $lon, $lat)")
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression = copy(a, b, c)
   override def prettyName: String = "st_contains_point"
 }
@@ -126,10 +142,30 @@ case class STContainsPoint(first: Expression, second: Expression, third: Express
   * difference between O(1) and O(polygon bytes) per page at scale.
   */
 case class STContainsPointKeyed(children: Seq[Expression])
-    extends Expression with CodegenFallback with ImplicitCastInputTypes {
+    extends Expression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(LongType, BinaryType, DoubleType, DoubleType)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = children.exists(_.nullable)
+  // codegen'd as a static call so the refine predicate stays inside
+  // whole-stage codegen (it rides the broadcast-join condition — a
+  // fallback would box an InternalRow per candidate row)
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val Seq(k, w, lon, lat) = children.map(_.genCode(ctx))
+    ev.copy(code =
+      code"""
+        ${k.code}
+        ${w.code}
+        ${lon.code}
+        ${lat.code}
+        boolean ${ev.isNull} = ${k.isNull} || ${w.isNull} || ${lon.isNull} || ${lat.isNull};
+        boolean ${ev.value} = false;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.PreparedCache.containsKeyed(
+            ${k.value}, ${w.value}, ${lon.value}, ${lat.value});
+        }""")
+  }
   override def eval(input: InternalRow): Any = {
     // hand-rolled (no Seq allocation) — this runs once per join candidate
     val k = children(0).eval(input)

@@ -104,6 +104,16 @@ object PreparedCache {
     get(wkb).contains(Jts.point(lon, lat))
 }
 
+/** Static entry points referenced by generated code (whole-stage codegen
+  * emits plain static calls; keeping them here leaves `graft.cells` free
+  * of Spark imports).
+  */
+object GeomCodegen {
+  def ancestors(lon: Double, lat: Double, minLevel: Int, maxLevel: Int): ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      Cell.ancestors(Cell.leaf(lon, lat), minLevel, maxLevel))
+}
+
 /** ST_Point(lon, lat) → WKB point. */
 case class STPoint(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
@@ -278,10 +288,29 @@ case class STCellAt(first: Expression, second: Expression, third: Expression)
   * ancestor cell ids — the probe side of the cover/ancestor PIP equi-join.
   */
 case class STCellAncestors(children: Seq[Expression])
-    extends Expression with CodegenFallback with ImplicitCastInputTypes {
+    extends Expression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType, IntegerType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = children.exists(_.nullable)
+  // codegen'd static call — evaluated once per probe row in the PIP
+  // explode, so keep it inside whole-stage codegen like st_cell_at
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val Seq(lon, lat, minL, maxL) = children.map(_.genCode(ctx))
+    ev.copy(code =
+      code"""
+        ${lon.code}
+        ${lat.code}
+        ${minL.code}
+        ${maxL.code}
+        boolean ${ev.isNull} = ${lon.isNull} || ${lat.isNull} || ${minL.isNull} || ${maxL.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.GeomCodegen.ancestors(
+            ${lon.value}, ${lat.value}, ${minL.value}, ${maxL.value});
+        }""")
+  }
   override def eval(input: InternalRow): Any = {
     val lon = children(0).eval(input)
     val lat = children(1).eval(input)

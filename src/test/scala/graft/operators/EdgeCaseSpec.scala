@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.cells.Cell
+
+/** Hostile-input hardening: real corpora contain empty documents,
+  * punctuation-only text, and boundary/garbage coordinates. None of these
+  * may crash an operator or emit rows that violate its contract.
+  */
+class EdgeCaseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val weirdDocs = Seq(
+    (1L, ""),                          // empty
+    (2L, "   \t\n  "),                 // whitespace only
+    (3L, "!!! ??? ... ---"),           // punctuation only
+    (4L, "word"),                      // single token (< shingle length)
+    (5L, "a b"),                       // two tokens
+    (6L, "x " * 5000)                  // long repetitive
+  ).toDF("doc_id", "text")
+
+  test("text operators survive degenerate documents") {
+    val tok = TextOps.tokenCounts(weirdDocs).collect()
+    assert(tok.length == 6)
+    val fp = TextOps.fingerprintTable(weirdDocs).collect()
+    assert(fp.nonEmpty) // every doc gets >= 1 fingerprint (short-doc path)
+    val pairs = Clusters.jaccardPairs(weirdDocs, 0.3).collect()
+    // sub-shingle-length docs have empty shingle sets -> never paired
+    assert(!pairs.exists(r => r.getLong(0) <= 5L && r.getLong(1) <= 5L || r.getLong(0) == 4L))
+    val clusters = Clusters.nearDupClusters(weirdDocs, 0.3).collect()
+    assert(clusters.length == 6, "every doc labeled, empty ones as singletons")
+    val lang = TextOps.langId(weirdDocs).collect()
+    assert(lang.length == 6)
+  }
+
+  test("cell math at the poles, dateline, and garbage coordinates") {
+    // corners of the coordinate space: valid cells at every level
+    for ((lon, lat) <- Seq((-180.0, -90.0), (180.0, 90.0), (0.0, 0.0),
+      (-180.0, 90.0), (179.999999, -89.999999))) {
+      val leaf = Cell.leaf(lon, lat)
+      assert(Cell.level(leaf) == Cell.MaxLevel)
+      val anc = Cell.ancestors(leaf, 0, 22)
+      assert(anc.length == 23 && anc.forall(a => Cell.contains(a, leaf)))
+    }
+    // out-of-range and NaN clamp instead of throwing
+    assert(Cell.level(Cell.leaf(500.0, 99.0)) == Cell.MaxLevel)
+    assert(Cell.level(Cell.leaf(Double.NaN, Double.NaN)) == Cell.MaxLevel)
+  }
+
+  test("PIP join tolerates pages at the domain boundary") {
+    val polys = Ingest.polygons(spark, graft.sources.Fixtures.nodesDf(spark),
+      graft.sources.Fixtures.waysDf(spark), graft.sources.Fixtures.relationsDf(spark),
+      graft.sources.Fixtures.blacklist).cache()
+    val covers = Ingest.cellCovers(polys)
+    val edgePages = Seq(
+      ("p1", -180.0, -90.0), ("p2", 180.0, 90.0), ("p3", 0.0, 0.0),
+      ("p4", 4.35, 50.85) // inside country 100
+    ).toDF("url", "lon", "lat")
+    val m = PipJoin.matches(edgePages, covers, polys).collect()
+    assert(m.exists(_.getString(0) == "p4"), "interior point must match")
+    assert(!m.exists(r => r.getString(0) == "p1" || r.getString(0) == "p2"))
+  }
+}

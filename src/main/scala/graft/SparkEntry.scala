@@ -437,6 +437,14 @@ object SparkEntry {
                  FROM graft_pages p JOIN graft_polys g
                  ON st_contains_point(g.wkb, p.lon, p.lat)""")
       }),
+      // J5 hybrid: hot relations broadcast within a byte budget, tail
+      // shuffled — budget forced small so both paths run at sf scale
+      "q_pip_hybrid" -> ((s, dir) => {
+        val (polys, covers) = dims(s)
+        PipJoin.matchesHybrid(Fixtures.pages(s, dir), covers, polys,
+          broadcastBudgetBytes = 4096, salt = 2)
+          .withColumnRenamed("relId", "rel_id")
+      }),
       // J5 partitioned+salted variant — same rows by construction
       "q_pip_partitioned" -> ((s, dir) => {
         val (polys, covers) = dims(s)
@@ -574,6 +582,10 @@ object SparkEntry {
          |SELECT url, layer, rel_id FROM contained""".stripMargin,
 
     "q_pip_partitioned" ->
+      s"""$pipOracleCtes
+         |SELECT url, layer, rel_id FROM contained""".stripMargin,
+
+    "q_pip_hybrid" ->
       s"""$pipOracleCtes
          |SELECT url, layer, rel_id FROM contained""".stripMargin,
 

@@ -157,6 +157,50 @@ object PipJoin {
       .select("url", "layer", "relId")
   }
 
+  /** Hybrid strategy (SURVEY §4 physical notes): split the polygon
+    * dimension by expected probe traffic — relations whose covers span the
+    * most leaf range (the proxy for "how many pages will stab this
+    * polygon") are served by the broadcast index up to a byte budget; the
+    * heavy tail goes through the partitioned shuffle join. Each relation
+    * is handled by exactly one path, so the union is duplicate-free and
+    * row-identical to `matches` (tested). This is the load-bearing shape
+    * when the FULL dimension no longer fits an executor but the hot subset
+    * does: hot traffic stays shuffle-free, cold traffic shuffles once.
+    * The ranking metadata is one small aggregate over the cover table
+    * (driver-side prefix pick, same class of work as the broadcast build).
+    */
+  def matchesHybrid(pages: DataFrame, covers: DataFrame, polygons: DataFrame,
+                    broadcastBudgetBytes: Long = 64L << 20, salt: Int = 1): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val ranked = covers
+      .groupBy("relId").agg(sum(col("cellMax") - col("cellMin") + lit(1)).as("hits"))
+      .join(polygons.select(col("relId"), length(col("wkb")).as("bytes")), Seq("relId"))
+      .orderBy(desc("hits"), asc("relId"))
+      .select("relId", "bytes").as[(Long, Long)].collect()
+    val hot = scala.collection.mutable.ArrayBuffer[Long]()
+    var budget = broadcastBudgetBytes
+    ranked.foreach { case (relId, bytes) =>
+      if (bytes <= budget) { hot += relId; budget -= bytes }
+    }
+    val hotSet = hot.toSet
+    val isHot = col("relId").isin(hotSet.toSeq: _*)
+    val coldCovers = covers.filter(!isHot)
+    val bcastPart =
+      if (hotSet.isEmpty) None
+      else Some(matchesIndexed(pages, covers.filter(isHot), polygons.filter(isHot)))
+    val shufflePart =
+      if (hotSet.size == ranked.length) None
+      else Some(matchesPartitioned(pages, coldCovers, polygons.filter(!isHot), salt = salt))
+    (bcastPart, shufflePart) match {
+      case (Some(b), Some(s)) => b.unionByName(s)
+      case (Some(b), None) => b
+      case (None, Some(s)) => s
+      case (None, None) => pages.sparkSession.emptyDataFrame
+        .select(lit("").as("url"), lit("").as("layer"), lit(0L).as("relId")).limit(0)
+    }
+  }
+
   /** Skew-aware salt selection (SURVEY §7 hard part c): sample the pages'
     * join-level cells and size the salt so the hottest cell's share of a
     * shuffle partition stays bounded. salt ≈ ceil(hottestShare × shuffle

@@ -269,6 +269,28 @@ object SparkEntry {
         |WHERE (t.n * d.n_chars - t.s) * (t.n * d.n_chars - t.s)
         |      > 4 * (t.n * t.ss - t.s * t.s)""".stripMargin,
 
+    // Repetition quality signals (the published Gopher-style filters):
+    // duplicate-word fraction and duplicate-2-gram fraction per document.
+    // DuckDB list dialect; Spark variant via overrides (1-based indexing
+    // mapped to element_at).
+    "q_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, ts,
+        |    CASE WHEN len(ts) >= 2 THEN
+        |      list_transform(generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1])
+        |    ELSE [] END AS gs
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CASE WHEN len(ts) = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE round(1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 6) END AS dup_word_ratio,
+        |  CASE WHEN len(gs) = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 6) END AS dup_2gram_ratio
+        |FROM grams""".stripMargin,
+
     // Stratified sampling for training-mix rebalance: per-language keep
     // rates via a deterministic multiplicative-hash threshold — map-side
     // only (no shuffle, no per-stratum sort), the shape that survives
@@ -313,7 +335,17 @@ object SparkEntry {
     "q_tfidf_topk" -> sharedSql("q_tfidf_topk")
       .replace("unnest(", "explode(")
       .replace("list_filter(", "filter(")
+      .replace("regexp_split_to_array(", "split("),
+    // + 1-based list indexing ts[i] ⇔ element_at(ts, i)
+    "q_repetition" -> sharedSql("q_repetition")
+      .replace("list_filter(", "filter(")
       .replace("regexp_split_to_array(", "split(")
+      .replace("list_transform(", "transform(")
+      .replace("generate_series(", "sequence(")
+      .replace("ts[i] || ' ' || ts[i+1]", "element_at(ts, i) || ' ' || element_at(ts, i+1)")
+      .replace("list_distinct(", "array_distinct(")
+      .replace("len(", "size(")
+      .replace("ELSE [] END", "ELSE array() END")
   )
 
   // ---- engine-native helpers ----------------------------------------------

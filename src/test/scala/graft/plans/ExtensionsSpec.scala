@@ -107,6 +107,20 @@ class ExtensionsSpec extends SparkTestBase {
     assert(got == bruteForce().filter(_._2 != "water"))
   }
 
+  test("PipJoinRewrite: comma-join + WHERE form is rewritten too") {
+    Graft.install(spark)
+    polys.select("relId", "layer", "wkb").createOrReplaceTempView("graft_polys")
+    pages.select("url", "lon", "lat").createOrReplaceTempView("graft_pages")
+    // predicate pushdown moves the WHERE into the join condition before
+    // the extension batch runs, so the rewrite still fires
+    val df = spark.sql(
+      """SELECT p.url, g.layer, g.relId FROM graft_pages p, graft_polys g
+        |WHERE st_contains_point(g.wkb, p.lon, p.lat)""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+    assert(df.as[(String, String, Long)].collect().toSet == bruteForce())
+  }
+
   test("PipJoinRewrite leaves equi-key joins alone") {
     Graft.install(spark)
     val df = spark.sql(

@@ -735,31 +735,21 @@ object SparkEntry {
     // (payloads are ASCII, so ord(char) == byte). This checks the real
     // plumbing end-to-end: payload construction, batching, schema.
     "q_media_meta" ->
-      s"""WITH pages AS (${Fixtures.pagesCte}),
-         |media AS (
-         |  SELECT url, '<html><body>' || text || '</body></html>' AS payload
-         |  FROM pages),
-         |hashed AS (
-         |  SELECT url, payload,
-         |    list_reduce(
-         |      list_prepend(CAST(1 AS BIGINT),
-         |        list_transform(generate_series(1, length(payload)),
-         |                       i -> CAST(ord(payload[i]) AS BIGINT))),
-         |      (a, b) -> ((31 * a + b + 2147483648) % 4294967296 + 4294967296)
-         |                % 4294967296 - 2147483648) AS h
-         |  FROM media),
-         |meta AS (
-         |  SELECT url, h, length(payload) AS byteLen,
-         |    CASE h & 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-         |               WHEN 2 THEN 'video' ELSE 'image' END AS kind,
-         |    64 + abs(h) % 1024 AS width,
-         |    64 + abs(CAST(trunc(h / 7.0) AS BIGINT)) % 1024 AS height
-         |  FROM hashed)
+      s"""$mediaHashCtes
          |SELECT url, kind, CAST(byteLen AS BIGINT) AS byteLen,
          |       CAST(width AS INT) AS width, CAST(height AS INT) AS height,
          |       CAST(CASE WHEN kind = 'image' THEN 0
          |                 ELSE 1000 + abs(h) % 600000 END AS BIGINT) AS durationMs
          |FROM meta""".stripMargin,
+
+    // frame sampling over the video-kind payloads (same stub math)
+    "q_media_frames" ->
+      s"""$mediaHashCtes
+         |SELECT url, CAST(ts AS BIGINT) AS frame_ms,
+         |       CAST(h * 1000003 + ts AS BIGINT) AS frame_hash
+         |FROM (SELECT url, h, unnest(generate_series(0,
+         |        1000 + abs(h) % 600000, 60000)) AS ts
+         |      FROM meta WHERE kind = 'video')""".stripMargin,
 
     // Language-ID: stopword-profile argmax, ties by lang DESC (the engine's
     // maxBy on (score, lang)); score = matched/total in exact double math.
@@ -820,6 +810,31 @@ object SparkEntry {
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.n)""".stripMargin
+
+  /** Shared media CTE prefix: payload reconstruction + the exact int32
+    * wraparound byte hash + kind/width/height derivation.
+    */
+  private def mediaHashCtes: String =
+    s"""WITH pages AS (${Fixtures.pagesCte}),
+       |media AS (
+       |  SELECT url, '<html><body>' || text || '</body></html>' AS payload
+       |  FROM pages),
+       |hashed AS (
+       |  SELECT url, payload,
+       |    list_reduce(
+       |      list_prepend(CAST(1 AS BIGINT),
+       |        list_transform(generate_series(1, length(payload)),
+       |                       i -> CAST(ord(payload[i]) AS BIGINT))),
+       |      (a, b) -> ((31 * a + b + 2147483648) % 4294967296 + 4294967296)
+       |                % 4294967296 - 2147483648) AS h
+       |  FROM media),
+       |meta AS (
+       |  SELECT url, h, length(payload) AS byteLen,
+       |    CASE h & 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |               WHEN 2 THEN 'video' ELSE 'image' END AS kind,
+       |    64 + abs(h) % 1024 AS width,
+       |    64 + abs(CAST(trunc(h / 7.0) AS BIGINT)) % 1024 AS height
+       |  FROM hashed)""".stripMargin
 
   private def knnQueryValues: String =
     Seq(0, 1, 2, 3, 4).map { i =>

@@ -67,7 +67,9 @@ object Multimodal {
 
   /** Frame sampling for video-kind payloads: every `everyMs` up to the
     * (stub) duration → one row per sampled frame with a deterministic
-    * frame hash.
+    * frame hash. Like `fakeDecode`, the hash is exact integer math over
+    * the payload hash so the plumbing is DuckDB-oracle-checkable
+    * (`q_media_frames`): real decoders replace both stubs together.
     */
   def sampleFrames(media: DataFrame, everyMs: Long = 60000L): DataFrame = {
     val spark = media.sparkSession
@@ -76,8 +78,11 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (url, bytes) =>
         val meta = fakeDecode(url, bytes)
         if (meta.kind != "video") Iterator.empty
-        else (0L to meta.durationMs by everyMs).iterator.map { ts =>
-          (url, ts, scala.util.hashing.MurmurHash3.bytesHash(bytes, ts.toInt).toLong)
+        else {
+          val h = java.util.Arrays.hashCode(bytes).toLong
+          (0L to meta.durationMs by everyMs).iterator.map { ts =>
+            (url, ts, h * 1000003L + ts)
+          }
         }
       })
       .toDF("url", "frame_ms", "frame_hash")

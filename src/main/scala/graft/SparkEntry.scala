@@ -742,6 +742,33 @@ object SparkEntry {
          |                 ELSE 1000 + abs(h) % 600000 END AS BIGINT) AS durationMs
          |FROM meta""".stripMargin,
 
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003) replicated
+    // exactly: 31-polynomial 8-gram hashes over the lowercased text,
+    // window-16 sliding minima, distinct count per doc.
+    "q_fingerprints" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+        |w AS (
+        |  SELECT doc_id, s,
+        |    CASE WHEN length(s) < 8 THEN
+        |      [list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(generate_series(1, length(s)), j -> CAST(ord(s[j]) AS BIGINT))),
+        |        (a, b) -> ((31 * a + b + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648)]
+        |    ELSE
+        |      list_transform(generate_series(1, length(s) - 7),
+        |        i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |               list_transform(generate_series(0, 7), j -> CAST(ord(s[i + j]) AS BIGINT))),
+        |             (a, b) -> ((31 * a + b + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648))
+        |    END AS g
+        |  FROM t),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(g) <= 16 THEN [list_aggregate(g, 'min')]
+        |    ELSE list_distinct(list_transform(generate_series(1, len(g) - 15),
+        |           i -> list_aggregate(g[i:i+15], 'min')))
+        |    END AS fps
+        |  FROM w)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp FROM m""".stripMargin,
+
     // frame sampling over the video-kind payloads (same stub math)
     "q_media_frames" ->
       s"""$mediaHashCtes

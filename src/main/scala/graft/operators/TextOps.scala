@@ -73,12 +73,23 @@ object TextOps {
 
   /** Winnowing document fingerprint: minimum k-gram rolling hash per
     * window, deduplicated — the classic published winnowing scheme
-    * (Schleimer/Wilkerson/Aiken 2003), deterministic.
+    * (Schleimer/Wilkerson/Aiken 2003), deterministic. The k-gram hash is
+    * the standard 31-polynomial over chars (String.hashCode semantics,
+    * int32 wraparound) — winnowing only needs a deterministic rolling-
+    * friendly hash, and this one is exactly replicable by the DuckDB
+    * oracle (`q_fingerprints`), flipping the operator from golden-only to
+    * oracle-checked.
     */
   def fingerprints(text: String, k: Int = 8, window: Int = 16): Array[Long] = {
     val s = text.toLowerCase
-    if (s.length < k) return Array(MurmurHash3.stringHash(s, 3).toLong)
-    val grams = Array.tabulate(s.length - k + 1)(i => MurmurHash3.stringHash(s.substring(i, i + k), 3).toLong)
+    def polyHash(str: CharSequence, from: Int, until: Int): Long = {
+      var h = 0
+      var i = from
+      while (i < until) { h = 31 * h + str.charAt(i); i += 1 }
+      h.toLong
+    }
+    if (s.length < k) return Array(polyHash(s, 0, s.length))
+    val grams = Array.tabulate(s.length - k + 1)(i => polyHash(s, i, i + k))
     if (grams.length <= window) Array(grams.min)
     else slidingMins(grams, window).distinct
   }

@@ -22,7 +22,7 @@ class GoldenSpec extends SparkTestBase {
     "q_water" -> "d0e92c001a7ea0e5",
     "q_minhash_pairs" -> "7b29e23ff36a683e",
     "q_simhash_pairs" -> "247daef31ad8a904",
-    "q_fingerprints" -> "e9b31f975252cb31",
+    "q_fingerprints" -> "5e1c2eb202c03f2f", // refrozen round 2: gram hash murmur -> 31-polynomial (oracle-replicable)
     "q_media_meta" -> "bffdc626e2f11dff")
 
   def canonical(df: org.apache.spark.sql.DataFrame): String = {

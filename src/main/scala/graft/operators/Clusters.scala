@@ -126,6 +126,12 @@ object Clusters {
       prev = sig
       it += 1
     }
+    // a non-converged edge set is NOT a star forest — labels derived from
+    // it would be silently wrong, so fail loudly (Kiveris et al. prove
+    // O(log n) convergence; 30 rounds covers any realistic graph)
+    if (!stable)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds")
     // fixpoint is a star forest: (a → b) with b the component min
     e.select(col("a").as("id"), col("b").as("component"))
       .union(e.select(col("b").as("id"), col("b").as("component")))

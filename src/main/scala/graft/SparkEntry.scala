@@ -251,7 +251,7 @@ object SparkEntry {
     // Per-source corpus accounting (the Common-Crawl "stats by crawl/
     // domain" op): one partial-aggregable groupBy.
     "q_source_stats" ->
-      """SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       count(DISTINCT lang) AS n_langs, min(doc_id) AS first_doc
         |FROM documents GROUP BY source""".stripMargin,
 
@@ -397,6 +397,7 @@ object SparkEntry {
       val hit = pairsCache.get(spark)
       if (hit != null && hit._1 == sfDir) hit._2
       else {
+        if (hit != null) hit._2.unpersist() // don't strand blocks on sfDir change
         val p = Clusters.jaccardPairs(Fixtures.documents(spark, sfDir), 0.3).cache()
         pairsCache.put(spark, (sfDir, p))
         p
@@ -408,6 +409,7 @@ object SparkEntry {
       val hit = clustersCache.get(spark)
       if (hit != null && hit._1 == sfDir) hit._2
       else {
+        if (hit != null) hit._2.unpersist() // don't strand blocks on sfDir change
         val c = Clusters.labelClusters(
           Fixtures.documents(spark, sfDir), jacPairs(spark, sfDir)).cache()
         clustersCache.put(spark, (sfDir, c))

@@ -141,28 +141,70 @@ object Coverer {
     Cell.parent(corners(0), l)
   }
 
+  /** EXACT cover: the same priority-refinement loop as `cover`, but over
+    * the WHOLE geometry with exact JTS predicates — a cell participates
+    * iff its lon/lat rectangle truly intersects the (prepared) geometry,
+    * and terminates early iff the geometry truly covers the rectangle.
+    * Unlike the reference's vertex-approximate predicates (which can
+    * prune a subtree that a sliver polygon crosses without placing a
+    * vertex in it and without containing any cell corner), the result is
+    * a guaranteed superset of the geometry for ANY input — polygons,
+    * multipolygons, degenerate rings, lines. Output cells are pairwise
+    * disjoint by construction (pure quadtree refinement).
+    */
+  def coverExact(geom: org.locationtech.jts.geom.Geometry,
+                 minLevel: Int = MinLevel, maxLevel: Int = MaxLevel,
+                 maxCells: Int = MaxCells): Array[Long] = {
+    if (geom.isEmpty) return Array.empty
+    val prep = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(geom)
+    val fact = geom.getFactory
+    def rect(cell: Long): org.locationtech.jts.geom.Geometry = {
+      val (x0, y0, x1, y1) = Cell.bounds(cell)
+      fact.toGeometry(new org.locationtech.jts.geom.Envelope(x0, x1, y0, y1))
+    }
+    val terminal = mutable.ArrayBuffer[Long]()
+    implicit val ord: Ordering[(Int, Long)] = Ordering.Tuple2(Ordering.Int.reverse, Ordering.Long.reverse)
+    val active = mutable.PriorityQueue[(Int, Long)]()
+    val world = Cell.fromHilbert(0L, 0)
+    if (prep.intersects(rect(world))) active.enqueue((0, world))
+    while (active.nonEmpty) {
+      val (lvl, cell) = active.dequeue()
+      val isTerminal = lvl >= minLevel && (lvl >= maxLevel || prep.covers(rect(cell)))
+      if (isTerminal) terminal += cell
+      else {
+        val kids = Cell.children(cell).filter(k => prep.intersects(rect(k)))
+        val wouldBe = terminal.length + active.length + kids.length
+        if (lvl < minLevel || wouldBe <= maxCells) kids.foreach(k => active.enqueue((lvl + 1, k)))
+        else terminal += cell // budget exhausted: keep as-is
+      }
+    }
+    terminal.toArray.sorted
+  }
+
   /** Cover for the generic `ST_Contains`-join rewrite
-    * (graft.plans.PipJoinRewrite): `coverGeometry`, with an exact
-    * envelope-cell fallback for polygons the reference's coverer refuses
-    * (< 4-unique-point rings, lookup.go:183-189) but which still carry
-    * interior. The rewrite replaces a nested-loop join and must stay a
-    * superset index for ANY polygon, or it would silently drop matches the
-    * nested-loop plan finds; the fallback cell may be coarse (down to
-    * level 0 for meridian-straddling envelopes) but is only reached for
-    * degenerate-ring inputs. Always pairwise disjoint (normalize).
+    * (graft.plans.PipJoinRewrite): the rewrite replaces a nested-loop join
+    * and must stay a superset index for ANY geometry, or it would silently
+    * drop matches the nested-loop plan finds — so it uses `coverExact`
+    * (exact JTS cell/geometry predicates), NOT the reference-semantics
+    * vertex-approximate `coverGeometry` that the engine's own index keeps
+    * (lookup.go:183-189 refusal semantics included). Belt-and-braces: if
+    * the exact cover fails (invalid geometry throwing inside JTS relate),
+    * fall back to one exact envelope cell per component — coarse but
+    * still a superset. Always pairwise disjoint.
     */
   def coverForJoin(geom: org.locationtech.jts.geom.Geometry): Array[Long] = {
-    val c = coverGeometry(geom)
-    if (c.nonEmpty) c
+    val exact =
+      try coverExact(geom)
+      catch { case _: Exception => Array.empty[Long] }
+    if (exact.nonEmpty || geom.isEmpty) exact
     else {
       val out = mutable.ArrayBuffer[Long]()
       var i = 0
       while (i < geom.getNumGeometries) {
-        geom.getGeometryN(i) match {
-          case p: org.locationtech.jts.geom.Polygon if p.getArea > 0 =>
-            val e = p.getEnvelopeInternal
-            out += envelopeCell(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
-          case _ =>
+        val g = geom.getGeometryN(i)
+        if (!g.isEmpty) {
+          val e = g.getEnvelopeInternal
+          out += envelopeCell(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
         }
         i += 1
       }

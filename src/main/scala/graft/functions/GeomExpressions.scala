@@ -341,9 +341,10 @@ case class STCellCover(child: Expression) extends UnaryExpression with CodegenFa
 }
 
 /** ST_CellCoverJoin(wkb) → pairwise-disjoint cover cells for the generic
-  * `ST_Contains`-join rewrite (graft.plans.PipJoinRewrite): coverGeometry
-  * plus an exact envelope-cell fallback so the rewrite is a superset index
-  * for any polygon with interior (Coverer.coverForJoin).
+  * `ST_Contains`-join rewrite (graft.plans.PipJoinRewrite): the EXACT
+  * cover (Coverer.coverForJoin → coverExact, JTS cell-rectangle
+  * predicates), a guaranteed superset index for any geometry — unlike the
+  * engine index's reference-semantics vertex-approximate st_cell_cover.
   */
 case class STCellCoverJoin(child: Expression) extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(BinaryType)

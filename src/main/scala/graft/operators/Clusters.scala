@@ -47,9 +47,13 @@ object Clusters {
     val dfreq = posts.groupBy("sh").agg(count(lit(1)).as("df"))
     // per-doc rank under the global (df, sh) order; keep only the prefix
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    // required overlap ⌈t·|s|⌉ with an FP tolerance: double arithmetic can
+    // round 0.29*100 up past the integer (29.000000000000004 → ceil 30),
+    // which would SHORTEN the prefix and silently drop at-threshold pairs;
+    // the tolerance lets the prefix only err longer, never shorter
     val prefix = posts.join(dfreq, "sh")
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
+      .filter(col("rnk") <= col("nsh") - ceil(col("nsh") * threshold - 1e-9) + 1)
       .select("doc_id", "sh")
 
     val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"))

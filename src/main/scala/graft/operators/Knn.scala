@@ -57,7 +57,11 @@ object Knn {
           .join(broadcast(probesDf), Seq("cellId"))
           .withColumn("dist", st_geo_distance(col("qlon"), col("qlat"), col("lon"), col("lat")))
           .select("queryId", "url", "dist")
-        acc = Some(acc.map(_.unionByName(cand)).getOrElse(cand))
+        // localCheckpoint per round (the discipline connectedComponents
+        // uses): without it the per-round stats collect and the final
+        // top-k re-evaluate every prior round's join from source —
+        // O(rounds²) work on a growing union
+        acc = Some(acc.map(_.unionByName(cand)).getOrElse(cand).localCheckpoint())
       }
 
       // per-query k-th distance so far (null if fewer than k found)

@@ -183,15 +183,18 @@ object PipJoin {
     ranked.foreach { case (relId, bytes) =>
       if (bytes <= budget) { hot += relId; budget -= bytes }
     }
-    val hotSet = hot.toSet
-    val isHot = col("relId").isin(hotSet.toSeq: _*)
-    val coldCovers = covers.filter(!isHot)
+    // split via broadcast semi/anti join, NOT a literal isin: an In-list
+    // builds one literal per hot relation — fine for dozens, pathological
+    // (expression-tree sized) for 10⁵ hot relations
+    val hotDf = broadcast(hot.toSeq.toDF("relId"))
+    def hotOnly(df: DataFrame) = df.join(hotDf, Seq("relId"), "left_semi")
+    def coldOnly(df: DataFrame) = df.join(hotDf, Seq("relId"), "left_anti")
     val bcastPart =
-      if (hotSet.isEmpty) None
-      else Some(matchesIndexed(pages, covers.filter(isHot), polygons.filter(isHot)))
+      if (hot.isEmpty) None
+      else Some(matchesIndexed(pages, hotOnly(covers), hotOnly(polygons)))
     val shufflePart =
-      if (hotSet.size == ranked.length) None
-      else Some(matchesPartitioned(pages, coldCovers, polygons.filter(!isHot), salt = salt))
+      if (hot.size == ranked.length) None
+      else Some(matchesPartitioned(pages, coldOnly(covers), coldOnly(polygons), salt = salt))
     (bcastPart, shufflePart) match {
       case (Some(b), Some(s)) => b.unionByName(s)
       case (Some(b), None) => b

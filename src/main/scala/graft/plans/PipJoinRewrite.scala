@@ -24,10 +24,13 @@ import graft.functions.{STCellAncestors, STCellCoverJoin, STContainsPoint}
   *    original `st_contains_point` stays above it as the exact residual.
   *
   * Row-for-row identical to the nested-loop plan it replaces:
-  *  - no false negatives — the cover is a superset of the polygon
-  *    (envelope-cell fallback for rings the reference's coverer refuses,
-  *    lookup.go:183-189, so even degenerate-ring polygons keep their
-  *    interior matches);
+  *  - no false negatives — the cover is a guaranteed superset of the
+  *    geometry because it is built with EXACT cell/geometry predicates
+  *    (Coverer.coverExact: JTS prepared intersects/covers of the cell
+  *    rectangle), not the engine index's vertex-approximate ones, which
+  *    can prune a subtree a sliver polygon crosses without placing a
+  *    vertex in it; degenerate-ring polygons the reference coverer
+  *    refuses (lookup.go:183-189) keep their interior matches too;
   *  - no duplicate rows — cover cells of one polygon row are pairwise
   *    disjoint (Coverer.normalize), so a point's ancestor chain meets at
   *    most one of them.

@@ -146,15 +146,21 @@ object SnapshotTable {
 
   private def writtenPartitions(spark: SparkSession, dataDir: Path, partCol: String,
                                 lineage: Map[String, Seq[String]], inputs: Seq[String]): Seq[PartitionMeta] = {
-    if (!Files.exists(dataDir)) return Nil
-    Files.list(dataDir).iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$partCol="))
-      .toSeq.map { p =>
-        val key = p.getFileName.toString.stripPrefix(s"$partCol=")
-        val rows = spark.read.parquet(p.toString).count()
-        PartitionMeta(key, p.toString, rows, dirBytes(p),
-          lineage.getOrElse(key, inputs))
-      }
+    val dirs = partitionDirs(dataDir, partCol)
+    if (dirs.isEmpty) return Nil
+    // ONE aggregate scan for every partition's row count (a per-partition
+    // count() loop is O(partitions) driver-sequential Spark jobs per
+    // commit): the groupBy reads only the partition column, so the
+    // vectorized reader satisfies it from parquet footers.
+    val counts = spark.read.parquet(dataDir.toString)
+      .groupBy(col(partCol).cast("string").as("__k"))
+      .count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    dirs.map { p =>
+      val key = p.getFileName.toString.stripPrefix(s"$partCol=")
+      PartitionMeta(key, p.toString, counts.getOrElse(key, 0L), dirBytes(p),
+        lineage.getOrElse(key, inputs))
+    }
   }
 
   private def writeManifest(base: String, table: String, m: Manifest): Unit = {

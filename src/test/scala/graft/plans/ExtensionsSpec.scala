@@ -65,6 +65,57 @@ class ExtensionsSpec extends SparkTestBase {
     for (a <- cells; b <- cells if a != b) assert(!Cell.contains(a, b))
   }
 
+  test("coverForJoin is EXACT: sliver crossing cells without vertices in them stays covered") {
+    // A long thin sliver (lon -170..170, lat 0.001..0.002) crosses many
+    // cells without placing a vertex in them and without containing any
+    // cell corner — the vertex-approximate predicates prune those
+    // subtrees, which used to make the SQL rewrite silently drop rows.
+    val sliver = Jts.polygon(IndexedSeq(
+      (-170.0, 0.001), (170.0, 0.001), (170.0, 0.002), (-170.0, 0.002), (-170.0, 0.001)))
+    val cells = Coverer.coverForJoin(sliver)
+    assert(cells.nonEmpty)
+    // superset at interior probes far from any vertex
+    for (lon <- Seq(-120.0, -40.0, 0.0, 60.0, 140.0)) {
+      val leaf = Cell.leaf(lon, 0.0015)
+      assert(cells.exists(c => Cell.contains(c, leaf)), s"sliver probe lon=$lon not covered")
+    }
+    // pairwise disjoint (the rewrite's no-duplicate guarantee)
+    for (a <- cells; b <- cells if a != b) assert(!Cell.contains(a, b))
+  }
+
+  test("coverForJoin covers EVERY member of a mixed MultiPolygon (degenerate member included)") {
+    // One coverable polygon + one degenerate-ring (3-unique-point) member:
+    // the old whole-geometry fallback only fired when the ENTIRE cover was
+    // empty, so the degenerate member silently lost its matches.
+    val ok = Jts.polygon(IndexedSeq(
+      (10.0, 10.0), (20.0, 10.0), (20.0, 20.0), (10.0, 20.0), (10.0, 10.0)))
+    val tri = Jts.polygon(IndexedSeq((40.0, 10.0), (41.0, 10.0), (40.0, 11.0), (40.0, 10.0)))
+    val mp = Jts.factory.createMultiPolygon(Array(ok, tri))
+    val cells = Coverer.coverForJoin(mp)
+    for ((lon, lat) <- Seq((15.0, 15.0), (40.2, 10.2), (40.5, 10.4))) {
+      val leaf = Cell.leaf(lon, lat)
+      assert(cells.exists(c => Cell.contains(c, leaf)), s"($lon,$lat) not covered")
+    }
+    for (a <- cells; b <- cells if a != b) assert(!Cell.contains(a, b))
+  }
+
+  test("PipJoinRewrite finds sliver matches end-to-end (exact-cover regression)") {
+    Graft.install(spark)
+    val sliver = Jts.polygon(IndexedSeq(
+      (-170.0, 0.001), (170.0, 0.001), (170.0, 0.002), (-170.0, 0.002), (-170.0, 0.001)))
+    Seq((1L, "sliver", Jts.toWkb(sliver)))
+      .toDF("relId", "layer", "wkb").createOrReplaceTempView("graft_polys")
+    Seq(("inside_mid", 0.0, 0.0015), ("inside_far", 140.0, 0.0015), ("outside", 0.0, 5.0))
+      .toDF("url", "lon", "lat").createOrReplaceTempView("graft_probe")
+    val df = spark.sql(
+      """SELECT p.url, g.relId FROM graft_probe p JOIN graft_polys g
+        |ON st_contains_point(g.wkb, p.lon, p.lat)""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+    val got = df.as[(String, Long)].collect().toSet
+    assert(got == Set(("inside_mid", 1L), ("inside_far", 1L)))
+  }
+
   test("PipJoinRewrite: SQL containment join == nested-loop ground truth, no cartesian plan") {
     Graft.install(spark)
     val df = sqlJoin(spark)

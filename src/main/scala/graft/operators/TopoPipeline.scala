@@ -18,8 +18,10 @@ import graft.geom.{Algorithms, Jts}
   *  - P1/P2/P3: feature load/filter/enrichment — plain select/filter;
   *  - P5: pre-clip simplification (simplify > 0 ∧ clipWater), no quantize;
   *  - P6/P7: water clipping — buffer(0) then prepared-intersects +
-  *    difference against broadcast water clip geoms simplified at the same
-  *    tolerance (water.go:235-300);
+  *    difference against water clip geoms simplified at the same
+  *    tolerance (water.go:235-300); prep is distributed, and the
+  *    candidate pairing is broadcast for small water or an
+  *    envelope-cell equi-join for planet-scale water;
   *  - P8: shared-arc dedup via canonical (min of forward/reversed)
   *    serialization, arc ids assigned by deterministic sort order;
   *  - P9: quantization q×q with transform scale/translate and per-arc
@@ -231,32 +233,89 @@ object TopoPipeline {
     Topology(simplified, arcsQ, uses, objects, transform)
   }
 
-  /** P6/P7: water clipping. Water geoms are ring-simplified at the same
-    * tolerance, buffer(0)-repaired and broadcast (in deterministic id
-    * order, with their bboxes); each feature is buffer(0)-repaired then
-    * differenced against every intersecting clip geometry sequentially,
-    * like geometries.go:228-263 — a typed map, no UDF, with a bbox
-    * prefilter so a feature only runs the prepared-intersects test against
-    * water whose envelope overlaps it (difference only shrinks geometry,
-    * so the pre-clip bbox stays a valid superset throughout the fold).
-    * Expects features(objId, wkb, bbox).
+  /** P7: distributed water-clip prep — ring-simplify at the export
+    * tolerance + buffer(0) repair as a Dataset map (water.go:163-177,
+    * 235-300 prep semantics), emitting the repaired WKB and its envelope.
+    * Runs on executors; nothing is collected here.
     */
-  def clipWater(features: DataFrame, water: DataFrame, simplifyDigits: Int): DataFrame = {
-    val spark = features.sparkSession
+  private[operators] def prepWater(water: DataFrame, simplifyDigits: Int): DataFrame = {
+    val spark = water.sparkSession
     import spark.implicits._
     val maxErr = if (simplifyDigits > 0) math.pow(10, -simplifyDigits) else 0.0
+    water.select(col("id").as("_1"), col("wkb").as("_2")).as[(Long, Array[Byte])]
+      .map { case (id, wkb) =>
+        val g = Jts.fromWkb(wkb)
+        val s = if (maxErr > 0)
+          graft.functions.GeomExpressions.mapPolygonRings(g,
+            pts => Algorithms.douglasPeucker(pts, maxErr))
+        else g
+        val repaired = s.buffer(0)
+        val env = repaired.getEnvelopeInternal
+        (id, Jts.toWkb(repaired), env.getMinX, env.getMinY, env.getMaxX, env.getMaxY)
+      }
+      .toDF("wid", "wwkb", "wx0", "wy0", "wx1", "wy1")
+  }
+
+  /** The per-feature clip fold, shared by both physical paths: buffer(0)
+    * repair, then difference against each candidate water geometry in
+    * ascending water-id order when it truly intersects the running
+    * geometry (geometries.go:228-263). `ws` must already be
+    * bbox-prefiltered against the feature's pre-clip bbox and sorted by
+    * water id.
+    */
+  private def clipFold(wkb: Array[Byte], ws: Seq[Array[Byte]]): Array[Byte] = {
+    var geom = Jts.fromWkb(wkb).buffer(0)
+    ws.foreach { w =>
+      if (graft.functions.PreparedCache.get(w).intersects(geom)) {
+        try geom = geom.difference(Jts.fromWkb(w)) catch { case _: Exception => }
+      }
+    }
+    Jts.toWkb(geom)
+  }
+
+  /** P6/P7: water clipping — same row-level semantics as the reference
+    * (geometries.go:228-263, water.go:235-300): each feature is
+    * buffer(0)-repaired then differenced sequentially, in water-id order,
+    * against every prepped water geometry whose envelope overlaps the
+    * feature's pre-clip bbox and which truly intersects the running
+    * geometry (difference only shrinks geometry, so the pre-clip bbox
+    * stays a valid superset throughout the fold).
+    *
+    * Two physical paths, chosen by prepped-water size — prep itself is
+    * always distributed (`prepWater`), never a raw-table driver collect:
+    *  - **broadcast** (≤ `broadcastLimitBytes` of prepped WKB): collect
+    *    the prepped rows, broadcast, bbox-prefilter per feature in a
+    *    typed map — zero shuffle of the feature table;
+    *  - **cell join** (planet-scale water layers): candidate
+    *    (feature, water) pairs come from an envelope-cell equi-join —
+    *    each side keys by the smallest quadtree cell containing its
+    *    envelope; two envelopes can only overlap when one envelope-cell
+    *    contains the other (cells are nested-or-disjoint), so the exact
+    *    cell of one side joined against the ancestor chain of the other
+    *    (both directions) is a lossless candidate set — then the exact
+    *    bbox-overlap filter, a per-feature sorted collect_list, and the
+    *    same fold. No driver memory ceiling.
+    * Expects features(objId, wkb, bbox); returns (objId, wkb, bbox) with
+    * the pre-clip bbox (callers re-derive post-clip bboxes).
+    */
+  def clipWater(features: DataFrame, water: DataFrame, simplifyDigits: Int,
+                broadcastLimitBytes: Long = 64L << 20): DataFrame = {
+    val prepped = prepWater(water, simplifyDigits).cache()
+    val totalBytes = prepped.agg(coalesce(sum(length(col("wwkb"))), lit(0L)))
+      .head().getLong(0)
+    if (totalBytes <= broadcastLimitBytes) clipWaterBroadcast(features, prepped)
+    else clipWaterJoin(features, prepped)
+  }
+
+  private def clipWaterBroadcast(features: DataFrame, prepped: DataFrame): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
     val waterPrepped: Array[(Array[Byte], (Double, Double, Double, Double))] =
-      water.select(col("id").as("_1"), col("wkb").as("_2")).as[(Long, Array[Byte])]
-        .collect().sortBy(_._1).map { case (_, wkb) =>
-          val g = Jts.fromWkb(wkb)
-          val s = if (maxErr > 0)
-            graft.functions.GeomExpressions.mapPolygonRings(g,
-              pts => Algorithms.douglasPeucker(pts, maxErr))
-          else g
-          val repaired = s.buffer(0)
-          val env = repaired.getEnvelopeInternal
-          (Jts.toWkb(repaired), (env.getMinX, env.getMinY, env.getMaxX, env.getMaxY))
-        }
+      prepped.select("wid", "wwkb", "wx0", "wy0", "wx1", "wy1")
+        .as[(Long, Array[Byte], Double, Double, Double, Double)]
+        .collect().sortBy(_._1)
+        .map { case (_, w, x0, y0, x1, y1) => (w, (x0, y0, x1, y1)) }
+    prepped.unpersist()
     val bc = spark.sparkContext.broadcast(waterPrepped)
 
     features
@@ -265,15 +324,73 @@ object TopoPipeline {
         col("bbox.maxx").as("_5"), col("bbox.maxy").as("_6"))
       .as[(Long, Array[Byte], Double, Double, Double, Double)]
       .map { case (objId, wkb, minx, miny, maxx, maxy) =>
-        var geom = Jts.fromWkb(wkb).buffer(0)
-        bc.value.foreach { case (w, (wx0, wy0, wx1, wy1)) =>
-          if (minx <= wx1 && maxx >= wx0 && miny <= wy1 && maxy >= wy0) {
-            if (graft.functions.PreparedCache.get(w).intersects(geom)) {
-              try geom = geom.difference(Jts.fromWkb(w)) catch { case _: Exception => }
-            }
-          }
-        }
-        (objId, Jts.toWkb(geom), minx, miny, maxx, maxy)
+        val ws = bc.value.iterator.collect {
+          case (w, (wx0, wy0, wx1, wy1))
+              if minx <= wx1 && maxx >= wx0 && miny <= wy1 && maxy >= wy0 => w
+        }.toSeq
+        (objId, clipFold(wkb, ws), minx, miny, maxx, maxy)
+      }
+      .toDF("objId", "wkb", "minx", "miny", "maxx", "maxy")
+      .withColumn("bbox", struct(col("minx"), col("miny"), col("maxx"), col("maxy")))
+      .select("objId", "wkb", "bbox")
+  }
+
+  private def clipWaterJoin(features: DataFrame, prepped: DataFrame): DataFrame = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    import graft.cells.{Cell, Coverer}
+
+    val feat = features.select(col("objId"), col("wkb"),
+      col("bbox.minx").as("fx0"), col("bbox.miny").as("fy0"),
+      col("bbox.maxx").as("fx1"), col("bbox.maxy").as("fy1"))
+
+    // envelope cell per side (exact: four corners in one cell ⇒ whole
+    // rectangle in it), plus the ancestor chains for the containment join
+    val fKeys = feat.select(col("objId"), col("fx0"), col("fy0"), col("fx1"), col("fy1"))
+      .as[(Long, Double, Double, Double, Double)]
+      .map { case (id, x0, y0, x1, y1) =>
+        (id, Coverer.envelopeCell(x0, y0, x1, y1), x0, y0, x1, y1)
+      }.toDF("objId", "fcell", "fx0", "fy0", "fx1", "fy1")
+    val wKeys = prepped.select(col("wid"), col("wx0"), col("wy0"), col("wx1"), col("wy1"))
+      .as[(Long, Double, Double, Double, Double)]
+      .map { case (id, x0, y0, x1, y1) =>
+        (id, Coverer.envelopeCell(x0, y0, x1, y1), x0, y0, x1, y1)
+      }.toDF("wid", "wcell", "wx0", "wy0", "wx1", "wy1")
+
+    val fAnc = fKeys.select(col("objId"), col("fx0"), col("fy0"), col("fx1"), col("fy1"),
+        col("fcell")).as[(Long, Double, Double, Double, Double, Long)]
+      .flatMap { case (id, x0, y0, x1, y1, c) =>
+        Cell.ancestors(c, 0, Cell.level(c)).iterator.map(a => (id, x0, y0, x1, y1, a))
+      }.toDF("objId", "fx0", "fy0", "fx1", "fy1", "cell")
+    val wAncStrict = wKeys.select(col("wid"), col("wx0"), col("wy0"), col("wx1"), col("wy1"),
+        col("wcell")).as[(Long, Double, Double, Double, Double, Long)]
+      .flatMap { case (id, x0, y0, x1, y1, c) =>
+        Cell.ancestors(c, 0, Cell.level(c) - 1).iterator.map(a => (id, x0, y0, x1, y1, a))
+      }.toDF("wid", "wx0", "wy0", "wx1", "wy1", "cell")
+
+    val bboxOverlap = col("fx0") <= col("wx1") && col("fx1") >= col("wx0") &&
+      col("fy0") <= col("wy1") && col("fy1") >= col("wy0")
+    // water cell ⊇ feature cell (join1) XOR feature cell ⊃ water cell
+    // (join2, strict) — disjoint cases, so no pair-level dedup needed
+    val pairs = fAnc.join(wKeys.withColumnRenamed("wcell", "cell"), Seq("cell"))
+      .filter(bboxOverlap).select("objId", "wid")
+      .unionByName(
+        fKeys.withColumnRenamed("fcell", "cell").join(wAncStrict, Seq("cell"))
+          .filter(bboxOverlap).select("objId", "wid"))
+
+    val perFeature = pairs
+      .join(prepped.select("wid", "wwkb"), Seq("wid"))
+      .groupBy("objId")
+      .agg(sort_array(collect_list(struct(col("wid"), col("wwkb")))).as("ws"))
+
+    feat.join(perFeature, Seq("objId"), "left")
+      .select(col("objId").as("_1"), col("wkb").as("_2"),
+        col("fx0").as("_3"), col("fy0").as("_4"), col("fx1").as("_5"), col("fy1").as("_6"),
+        col("ws").as("_7"))
+      .as[(Long, Array[Byte], Double, Double, Double, Double, Seq[(Long, Array[Byte])])]
+      .map { case (objId, wkb, minx, miny, maxx, maxy, ws) =>
+        val ordered = Option(ws).getOrElse(Seq.empty).map(_._2)
+        (objId, clipFold(wkb, ordered), minx, miny, maxx, maxy)
       }
       .toDF("objId", "wkb", "minx", "miny", "maxx", "maxy")
       .withColumn("bbox", struct(col("minx"), col("miny"), col("maxx"), col("maxy")))

@@ -95,6 +95,45 @@ class TopoPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("topology round-trip property: seeded random shared-border partition reconstructs exactly") {
+    // rings → topology(0,0) → reconstruct must reproduce the input
+    // geometry EXACTLY — this pins the P8 arc cut/dedup semantics beyond
+    // the golden hash. A random 6×6 grid partition into 4 objects is a
+    // worst case for junction cutting: nearly every vertex is a junction
+    // and nearly every arc is shared between two objects.
+    val rnd = new scala.util.Random(20260816L)
+    val cells = for (i <- 0 until 6; j <- 0 until 6) yield (i, j, rnd.nextInt(4))
+    val geoms = (0 until 4).flatMap { o =>
+      val parts = cells.collect { case (i, j, `o`) =>
+        sq(i.toDouble, j.toDouble, i + 1.0, j + 1.0): org.locationtech.jts.geom.Geometry }
+      if (parts.isEmpty) None else Some((o + 1L, parts.reduce(_ union _)))
+    }
+    val fs = features(geoms: _*)
+    val topo = TopoPipeline.topology(fs, 0, 0)
+    val rec = Export.reconstruct(topo).as[(Long, Array[Byte])].collect().toMap
+    geoms.foreach { case (id, g) =>
+      assert(Jts.fromWkb(rec(id)).norm().equalsExact(g.norm()),
+        s"objId=$id drifted through topology round-trip")
+    }
+    // shared arcs actually exercised (not 4 isolated rings)
+    val sharedArcs = topo.uses.groupBy("arcId").count().filter(col("count") > 1).count()
+    assert(sharedArcs > 5, s"partition should share many arcs, got $sharedArcs")
+  }
+
+  test("topology round-trip property: fixture polygons (holes + multipolygons) reconstruct exactly") {
+    val polys = Ingest.polygons(spark, Fixtures.nodesDf(spark), Fixtures.waysDf(spark),
+      Fixtures.relationsDf(spark), Fixtures.blacklist)
+    val fs = polys.select(col("relId").as("objId"), col("wkb"), col("bbox"))
+    val topo = TopoPipeline.topology(fs, 0, 0)
+    val rec = Export.reconstruct(topo).as[(Long, Array[Byte])].collect().toMap
+    val orig = fs.select("objId", "wkb").as[(Long, Array[Byte])].collect().toMap
+    assert(rec.keySet == orig.keySet)
+    orig.foreach { case (id, wkb) =>
+      assert(Jts.fromWkb(rec(id)).norm().equalsExact(Jts.fromWkb(wkb).norm()),
+        s"objId=$id drifted through topology round-trip")
+    }
+  }
+
   test("water clip subtracts intersecting water, leaves others untouched") {
     val fs = features(1L -> sq(0, 0, 2, 2), 2L -> sq(10, 10, 11, 11))
     val water = Seq((1L, Jts.toWkb(sq(-1, -1, 1, 1)))).toDF("id", "wkb")
@@ -102,6 +141,38 @@ class TopoPipelineSpec extends SparkTestBase {
       .select("objId", "wkb").as[(Long, Array[Byte])].collect().toMap
     assert(math.abs(Jts.fromWkb(clipped(1L)).getArea - 3.0) < 1e-12) // 4 - 1 overlap
     assert(Jts.fromWkb(clipped(2L)).getArea == 1.0)
+  }
+
+  test("water clip: cell-join path (forced) returns the broadcast path's rows exactly") {
+    // multi-feature / multi-water with containment both ways: a large
+    // water body containing a small feature (water envelope-cell is the
+    // feature cell's ancestor) and a small pond inside a large feature
+    // (feature cell strict ancestor of the water cell), plus a
+    // non-overlapping pair, plus overlapping water ids whose difference
+    // order matters (fold in id order).
+    val fs = features(
+      1L -> sq(0, 0, 2, 2), 2L -> sq(10, 10, 11, 11),
+      3L -> sq(-50, -50, -20, -20), 4L -> sq(30.2, 30.2, 30.3, 30.3))
+    val water = Seq(
+      (1L, Jts.toWkb(sq(-1, -1, 1, 1))),
+      (2L, Jts.toWkb(sq(0.5, 0.5, 1.5, 1.5))),
+      (3L, Jts.toWkb(sq(-40, -40, -30, -30))), // pond inside feature 3
+      (4L, Jts.toWkb(sq(30, 30, 31, 31)))      // contains feature 4 entirely
+    ).toDF("id", "wkb")
+    val viaBroadcast = TopoPipeline.clipWater(fs, water, 0)
+      .select("objId", "wkb").as[(Long, Array[Byte])].collect().toMap
+    val viaJoin = TopoPipeline.clipWater(fs, water, 0, broadcastLimitBytes = 0L)
+      .select("objId", "wkb").as[(Long, Array[Byte])].collect().toMap
+    assert(viaJoin.keySet == viaBroadcast.keySet)
+    viaBroadcast.foreach { case (id, wkb) =>
+      assert(Jts.fromWkb(viaJoin(id)).norm().equalsExact(Jts.fromWkb(wkb).norm()),
+        s"objId=$id differs between join and broadcast clip paths")
+    }
+    // sanity on values, not just path equality
+    assert(math.abs(Jts.fromWkb(viaJoin(1L)).getArea - (4.0 - 1.0 - 0.75)) < 1e-12)
+    assert(Jts.fromWkb(viaJoin(2L)).getArea == 1.0)
+    assert(math.abs(Jts.fromWkb(viaJoin(3L)).getArea - (900.0 - 100.0)) < 1e-9)
+    assert(Jts.fromWkb(viaJoin(4L)).getArea == 0.0, "feature fully underwater")
   }
 
   test("greedy slicer reproduces reference arithmetic (phantom origin start)") {

@@ -590,6 +590,12 @@ object SparkEntry {
     * oracle text need not match the Spark text — only the result).
     */
   val duckOnlyOracle: Map[String, String] = Map(
+    // sketch family — DuckDB recomputes the engine's exact hash math
+    // (see the generator defs below the map)
+    "q_minhash_pairs" -> minhashOracle,
+    "q_simhash_pairs" -> simhashOracle,
+    "q_embed_pairs_blocked" -> embedBlockedOracle,
+
     "q_ann_brute" ->
       """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
         |q AS (SELECT vec_id AS query_id, vec AS qv FROM emb WHERE vec_id <= 9),
@@ -864,6 +870,129 @@ object SparkEntry {
        |    64 + abs(h) % 1024 AS width,
        |    64 + abs(CAST(trunc(h / 7.0) AS BIGINT)) % 1024 AS height
        |  FROM hashed)""".stripMargin
+
+  // ---- sketch oracles: the SQL-replicable hash families ------------------
+  // TextOps/Similarity compute every sketch with 31-polynomial base hashes
+  // and (a·x+b) mod 2³¹−1 universal hashes whose coefficient tables are
+  // embedded below as literals — DuckDB recomputes the sketches
+  // bit-for-bit, so LSH candidate generation AND verification are
+  // oracle-checked end-to-end (the round-2 winnowing move, applied to
+  // minhash/simhash/blocked-embedding).
+
+  /** list_reduce 31-polynomial mod p over the chars of expression `e`. */
+  private def sqlPolyHash(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(generate_series(1, length($e)), j -> CAST(ord($e[j]) AS BIGINT))),
+       |      (a, b) -> (31 * a + b) % ${TextOps.MersennePrime})""".stripMargin
+
+  private def minhashOracle: String = {
+    val p = TextOps.MersennePrime
+    val rows = TextOps.NumMinHashes / TextOps.Bands
+    val mhExprs = (0 until TextOps.NumMinHashes).map { i =>
+      s"list_aggregate(list_transform(hs, h -> (${TextOps.MinHashA(i)} * h + ${TextOps.MinHashB(i)}) % $p), 'min') AS m$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until TextOps.Bands).map { b =>
+      val ms = (0 until rows).map(r => s"m${b * rows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, [$ms] AS sig FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ts) >= 3 THEN
+       |      list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+       |    ELSE [array_to_string(ts, ' ')] END AS s
+       |  FROM toks),
+       |hs0 AS (
+       |  SELECT doc_id, s, list_transform(s, g ->
+       |    ${sqlPolyHash("g")}) AS hs
+       |  FROM sh),
+       |mh AS (SELECT doc_id,
+       |    $mhExprs
+       |  FROM hs0),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |ss AS (SELECT doc_id, list_distinct(s) AS sd FROM sh),
+       |scored AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         len(list_intersect(x.sd, y.sd)) AS inter, len(x.sd) AS na, len(y.sd) AS nb
+       |  FROM cand c JOIN ss x ON x.doc_id = c.doc_a JOIN ss y ON y.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b,
+       |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+       |FROM scored
+       |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7""".stripMargin
+  }
+
+  private def simhashOracle: String = {
+    val p = TextOps.MersennePrime
+    val bitRows = (0 until 64)
+      .map(b => s"($b, ${TextOps.SimHashA(b)}, ${TextOps.SimHashB(b)})").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, ${sqlPolyHash("t")} AS h
+       |  FROM toks),
+       |bits AS (SELECT * FROM (VALUES $bitRows) AS t(b, ba, bb)),
+       |votes AS (
+       |  SELECT th.doc_id, bits.b,
+       |         sum(CASE WHEN 2 * ((bits.ba * th.h + bits.bb) % $p) < $p THEN 1 ELSE -1 END) AS cnt
+       |  FROM th CROSS JOIN bits GROUP BY 1, 2),
+       |bitvals AS (
+       |  SELECT d.doc_id, bits.b,
+       |         CASE WHEN coalesce(v.cnt, 0) > 0 THEN 1 ELSE 0 END AS bit
+       |  FROM documents d CROSS JOIN bits
+       |  LEFT JOIN votes v ON v.doc_id = d.doc_id AND v.b = bits.b),
+       |bv AS (
+       |  SELECT doc_id, (b // 16) AS band,
+       |         sum(bit * (CAST(1 AS BIGINT) << CAST(b % 16 AS INT))) AS bandVal
+       |  FROM bitvals GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bv a JOIN bv b ON a.band = b.band AND a.bandVal = b.bandVal AND a.doc_id < b.doc_id),
+       |ham AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(sum(bit_count(xor(x.bandVal, y.bandVal))) AS INT) AS hamming
+       |  FROM cand c
+       |  JOIN bv x ON x.doc_id = c.doc_a
+       |  JOIN bv y ON y.doc_id = c.doc_b AND y.band = x.band
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin
+  }
+
+  private def embedBlockedOracle: String = {
+    val p = TextOps.MersennePrime
+    val planeRows = (0 until 64)
+      .map(j => s"($j, ${Similarity.PlaneA(j)}, ${Similarity.PlaneB(j)})").mkString(", ")
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |planes AS (SELECT * FROM (VALUES $planeRows) AS t(j, pa, pb)),
+       |signs AS (
+       |  SELECT e.vec_id, p.j,
+       |    CASE WHEN list_sum(list_transform(generate_series(1, len(e.q)),
+       |           i -> (CASE WHEN 2 * ((((p.pa * i + p.pb) % $p) * ((p.pa * i + p.pb) % $p)) % $p) < $p
+       |                 THEN 1 ELSE -1 END) * e.q[i])) >= 0
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM emb e CROSS JOIN planes p),
+       |bv AS (
+       |  SELECT vec_id, (j // 4) AS band,
+       |         sum(bit * (CAST(1 AS BIGINT) << CAST(3 - (j % 4) AS INT))) AS bandVal
+       |  FROM signs GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bv a JOIN bv b ON a.band = b.band AND a.bandVal = b.bandVal AND a.vec_id < b.vec_id)
+       |SELECT c.vec_a, c.vec_b, round(list_cosine_similarity(x.vec, y.vec), 6) AS cos
+       |FROM cand c JOIN emb x ON x.vec_id = c.vec_a JOIN emb y ON y.vec_id = c.vec_b
+       |WHERE round(list_cosine_similarity(x.vec, y.vec), 6) >= 0.4""".stripMargin
+  }
 
   private def knnQueryValues: String =
     Seq(0, 1, 2, 3, 4).map { i =>

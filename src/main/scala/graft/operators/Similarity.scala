@@ -53,40 +53,62 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Plane-sign coefficient tables for the SRP blocking below — like
+    * TextOps.MinHashA/B, literal single source of truth for both the
+    * Scala sketch and the generated DuckDB oracle SQL.
+    */
+  val PlaneA: Array[Long] =
+    Array.tabulate(64)(j => (69069L * (j + 1) + 362437L) % TextOps.MersennePrime)
+  val PlaneB: Array[Long] =
+    Array.tabulate(64)(j => (16807L * (j + 1) + 104729L) % TextOps.MersennePrime)
+
   /** Embedding-cosine near-dup with sign-random-projection LSH blocking
-    * (the cosine analogue of MinHash banding): each vector's 64 hyperplane
-    * signs are split into `bands` bands of `rowsPerBand` bits; only pairs
+    * (the cosine analogue of MinHash banding): each vector's `bands ×
+    * rowsPerBand` projection signs are split into bands; only pairs
     * colliding in ≥1 band are exact-verified against `threshold`. Sketch is
-    * a map-side pass over a broadcast hyperplane matrix; the only shuffle
-    * is the (band, bandVal) bucket join — NOT all-pairs. Recall at cos θ is
-    * 1-(1-(1-acos(θ)/π)^r)^b ≈ 0.94 at θ=0.4 with r=4,b=16, higher for
-    * nearer pairs; validated against the exact path in tests.
-    * (The earlier single-assignment IVF blocking measured 0.26 recall at
-    * θ=0.4 — pairs straddle centroid lists — hence this scheme.)
+    * a map-side pass; the only shuffle is the (band, bandVal) bucket join —
+    * NOT all-pairs.
+    *
+    * The projection planes are Rademacher (±1 per dimension, the published
+    * sign-random-projection variant — Achlioptas-style sparse/sign
+    * projections preserve angles like Gaussian ones), with the sign drawn
+    * from a universal hash of (plane, dimension), and the vector quantized
+    * to 1e-6 before the dot product — so the sign test is EXACT int64
+    * arithmetic, reproducible bit-for-bit by the DuckDB oracle
+    * (`q_embed_pairs_blocked`), with no float-summation-order hazard.
+    * Recall at cos θ is 1-(1-(1-acos(θ)/π)^r)^b ≈ 0.94 at θ=0.4 with
+    * r=4,b=16, higher for nearer pairs; validated against the exact path
+    * in tests. (The earlier single-assignment IVF blocking measured 0.26
+    * recall at θ=0.4 — pairs straddle centroid lists — hence this scheme.)
     */
   def embeddingDedupBlocked(embeddings: DataFrame, threshold: Double,
-                            bands: Int = 16, rowsPerBand: Int = 4,
-                            seed: Long = 42L): DataFrame = {
+                            bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    require(bands * rowsPerBand <= 64, "PlaneA/PlaneB carry 64 plane rows")
     val spark = embeddings.sparkSession
     import spark.implicits._
+    val p = TextOps.MersennePrime
     val emb = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-    val dim = emb.select(size(col("vec"))).head().getInt(0)
-    // deterministic Gaussian hyperplanes (java.util.Random is spec-fixed)
-    val rnd = new java.util.Random(seed)
-    val planes = Array.fill(bands * rowsPerBand, dim)(rnd.nextGaussian())
-    val bc = spark.sparkContext.broadcast(planes)
 
     val buckets = emb.as[(Long, Seq[Double])].flatMap { case (id, v) =>
-      val ps = bc.value
-      val arr = v.toArray
+      // quantize to integers: exact, order-independent sign sums
+      val q = v.iterator.map(x => math.floor(x * 1e6 + 0.5).toLong).toArray
       (0 until bands).iterator.map { b =>
         var h = 0L
         var r = 0
         while (r < rowsPerBand) {
-          val p = ps(b * rowsPerBand + r)
-          var s = 0.0
+          val j = b * rowsPerBand + r
+          var s = 0L
           var i = 0
-          while (i < arr.length) { s += p(i) * arr(i); i += 1 }
+          while (i < q.length) {
+            // square the affine hash before the half-test: (a·i+b) mod p
+            // alone is an arithmetic progression (three-distance structure
+            // → correlated signs → measured recall loss); u² mod p
+            // scatters it while staying exact int64 math
+            val u = (PlaneA(j) * (i + 1) + PlaneB(j)) % p
+            val v = (u * u) % p
+            s += (if (2 * v < p) q(i) else -q(i))
+            i += 1
+          }
           h = (h << 1) | (if (s >= 0) 1L else 0L)
           r += 1
         }

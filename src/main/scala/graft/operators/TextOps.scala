@@ -2,19 +2,39 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import scala.util.hashing.MurmurHash3
 
 /** Text-analysis + deduplication operators over the `documents`/`pages`
-  * tables — the training-data-pipeline half of the engine. All hashes are
-  * seeded MurmurHash3 (JVM-stable, deterministic); per-document sketches
-  * (minhash, simhash, fingerprints) are computed in a *map* (no explode →
-  * no shuffle for the sketch phase); only the LSH band bucketing shuffles,
-  * keyed by (band, bandHash).
+  * tables — the training-data-pipeline half of the engine. All sketch
+  * hashes are SQL-replicable integer math (31-polynomial base hash +
+  * Carter–Wegman (a·x+b) mod 2³¹−1 universal-hash families with literal
+  * coefficient tables), so minhash/simhash outputs are verified by DuckDB
+  * oracles, not just frozen goldens. Per-document sketches (minhash,
+  * simhash, fingerprints) are computed in a *map* (no explode → no
+  * shuffle for the sketch phase); only the LSH band bucketing shuffles,
+  * keyed by (band, band signature).
   */
 object TextOps {
 
   def tokens(text: String): Array[String] =
     text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  /** 2³¹−1 — the Mersenne prime every SQL-replicable sketch hash below
+    * reduces by; all intermediates stay < 2⁶³ in both JVM longs and
+    * DuckDB BIGINTs (no wraparound emulation needed).
+    */
+  val MersennePrime = 2147483647L
+
+  /** 31-polynomial over chars mod 2³¹−1, kept in [0, p) — the base hash
+    * shared by minhash (per shingle) and simhash (per token); exactly
+    * replicable as a DuckDB list_reduce over ord(char).
+    */
+  def polyHashMod(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (31 * h + s.charAt(i)) % MersennePrime; i += 1 }
+    h
+  }
+
 
   /** Text extraction from the raw `html` binary column — the per-row
     * invariant of the input contract is that extracted text stays
@@ -33,20 +53,39 @@ object TextOps {
   val NumMinHashes = 32
   val Bands = 8 // 4 rows per band
 
+  /** Universal-hash coefficient tables — the single source of truth for
+    * both the Scala sketches and the generated oracle SQL (SparkEntry
+    * embeds these values as literals). Derived from fixed LCG-style
+    * recurrences purely for reproducibility; any nonzero `a` gives the
+    * pairwise-independence the (a·x+b) mod p family guarantees.
+    */
+  val MinHashA: Array[Long] =
+    Array.tabulate(NumMinHashes)(i => (1103515245L * (i + 1) + 12345L) % MersennePrime)
+  val MinHashB: Array[Long] =
+    Array.tabulate(NumMinHashes)(i => (974711L * (i + 1) + 31337L) % MersennePrime)
+  val SimHashA: Array[Long] =
+    Array.tabulate(64)(b => (22695477L * (b + 1) + 1L) % MersennePrime)
+  val SimHashB: Array[Long] =
+    Array.tabulate(64)(b => (48271L * (b + 3) + 7919L) % MersennePrime)
+
   def tokenShingles(text: String, n: Int = 3): Array[String] = {
     val ts = tokens(text)
     if (ts.length < n) Array(ts.mkString(" "))
     else ts.sliding(n).map(_.mkString(" ")).toArray
   }
 
+  /** 32 minhash values: per-shingle base hash (31-polynomial mod p), then
+    * the i-th (a·x+b) mod p universal hash, min over shingles — the
+    * classic minwise scheme, with every step DuckDB-evaluable (oracle
+    * `q_minhash_pairs` recomputes these values bit-for-bit).
+    */
   def minHashes(text: String): Array[Long] = {
-    val sh = tokenShingles(text)
+    val base = tokenShingles(text).map(polyHashMod)
     Array.tabulate(NumMinHashes) { i =>
       var m = Long.MaxValue
       var j = 0
-      while (j < sh.length) {
-        val h = (MurmurHash3.stringHash(sh(j), i).toLong << 32) |
-          (MurmurHash3.stringHash(sh(j), i + 1000) & 0xffffffffL)
+      while (j < base.length) {
+        val h = (MinHashA(i) * base(j) + MinHashB(i)) % MersennePrime
         if (h < m) m = h
         j += 1
       }
@@ -54,14 +93,18 @@ object TextOps {
     }
   }
 
+  /** 64-bit simhash: per-token base hash, then bit b votes +1 when the
+    * b-th universal hash of it lands in the lower half of [0, p) — a
+    * uniform per-bit hash that DuckDB replicates exactly (`q_simhash_pairs`).
+    */
   def simHash(text: String): Long = {
     val counts = new Array[Int](64)
     for (t <- tokens(text)) {
-      val h = (MurmurHash3.stringHash(t, 7).toLong << 32) |
-        (MurmurHash3.stringHash(t, 1007) & 0xffffffffL)
+      val h0 = polyHashMod(t)
       var b = 0
       while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        val v = (SimHashA(b) * h0 + SimHashB(b)) % MersennePrime
+        if (2 * v < MersennePrime) counts(b) += 1 else counts(b) -= 1
         b += 1
       }
     }
@@ -170,23 +213,24 @@ object TextOps {
     val sketches = documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) => DocSketch(id, minHashes(text).toSeq) }
 
+    // bucket key is the band's minhash slice ITSELF (collision-free and
+    // directly comparable in the DuckDB oracle — no band-hash function)
     val buckets0 = sketches.flatMap { s =>
       (0 until Bands).iterator.map { b =>
-        val slice = s.minhashes.slice(b * rows, (b + 1) * rows)
-        (b, MurmurHash3.orderedHash(slice, b).toLong, s.doc_id)
+        (b, s.minhashes.slice(b * rows, (b + 1) * rows), s.doc_id)
       }
-    }.toDF("band", "bandHash", "doc_id")
+    }.toDF("band", "sig", "doc_id")
 
     // skew bound: drop over-full buckets (near-identical boilerplate all
     // hashing to one band value) — same cap + recall caveat as
-    // simhashDedup; never triggers at fixture scale (goldens unchanged)
-    val small = buckets0.groupBy("band", "bandHash")
+    // simhashDedup; never triggers at fixture scale
+    val small = buckets0.groupBy("band", "sig")
       .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBucket)
-      .select("band", "bandHash")
-    val buckets = buckets0.join(small, Seq("band", "bandHash"))
+      .select("band", "sig")
+    val buckets = buckets0.join(small, Seq("band", "sig"))
 
     val pairs = buckets.as("a")
-      .join(buckets.as("b"), Seq("band", "bandHash"))
+      .join(buckets.as("b"), Seq("band", "sig"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()

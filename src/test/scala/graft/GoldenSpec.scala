@@ -20,8 +20,8 @@ class GoldenSpec extends SparkTestBase {
     "q_tile_counts" -> "8cc4c6e0c3fad844",
     "q_raster_cells" -> "e07887375ac00075",
     "q_water" -> "d0e92c001a7ea0e5",
-    "q_minhash_pairs" -> "7b29e23ff36a683e",
-    "q_simhash_pairs" -> "247daef31ad8a904",
+    "q_minhash_pairs" -> "7b29e23ff36a683e", // unchanged through the round-3 hash swap: same verified pair set
+    "q_simhash_pairs" -> "99d0000cbd5f855d", // refrozen round 3: murmur token hash -> universal-hash bit votes (oracle-replicable); hamming values legitimately differ
     "q_fingerprints" -> "5e1c2eb202c03f2f", // refrozen round 2: gram hash murmur -> 31-polynomial (oracle-replicable)
     "q_media_meta" -> "bffdc626e2f11dff")
 

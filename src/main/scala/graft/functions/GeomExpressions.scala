@@ -346,13 +346,22 @@ case class STCellCover(child: Expression) extends UnaryExpression with CodegenFa
   * predicates), a guaranteed superset index for any geometry — unlike the
   * engine index's reference-semantics vertex-approximate st_cell_cover.
   */
-case class STCellCoverJoin(child: Expression) extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
-  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+case class STCellCoverJoin(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(a: Any): Any =
-    new GenericArrayData(Coverer.coverForJoin(Jts.fromWkb(a.asInstanceOf[Array[Byte]])))
-  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def nullSafeEval(a: Any, minL: Any, maxL: Any): Any =
+    new GenericArrayData(Coverer.clampCover(
+      Coverer.coverForJoin(Jts.fromWkb(a.asInstanceOf[Array[Byte]])),
+      minL.asInstanceOf[Int], maxL.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression = copy(a, b, c)
   override def prettyName: String = "st_cell_cover_join"
+}
+
+object STCellCoverJoin {
+  /** Default full band — the rewrite passes the conf band explicitly. */
+  def apply(wkb: Expression): STCellCoverJoin =
+    STCellCoverJoin(wkb, Literal(0), Literal(Coverer.MaxLevel))
 }
 
 /** ST_SimplifyVW(wkb, threshold) — Visvalingam per-ring (water.go:163-177). */
@@ -450,7 +459,8 @@ object GeomExpressions {
     "st_cell_at" -> (es => STCellAt(es(0), es(1), es(2))),
     "st_cell_ancestors" -> (es => STCellAncestors(es)),
     "st_cell_cover" -> (es => STCellCover(es(0))),
-    "st_cell_cover_join" -> (es => STCellCoverJoin(es(0))),
+    "st_cell_cover_join" -> (es =>
+      if (es.length >= 3) STCellCoverJoin(es(0), es(1), es(2)) else STCellCoverJoin(es(0))),
     "st_simplify_vw" -> (es => STSimplifyVW(es(0), es(1))),
     "st_geo_distance" -> (es => STGeoDistance(es)))
 

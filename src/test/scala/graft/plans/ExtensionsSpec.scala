@@ -172,6 +172,25 @@ class ExtensionsSpec extends SparkTestBase {
     assert(df.as[(String, String, Long)].collect().toSet == bruteForce())
   }
 
+  test("PipJoinRewrite: graft.pip.minLevel/maxLevel band the probe explode, rows unchanged") {
+    Graft.install(spark)
+    spark.conf.set("graft.pip.minLevel", "4")
+    spark.conf.set("graft.pip.maxLevel", "8")
+    try {
+      val df = sqlJoin(spark)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("st_cell_ancestors") && opt.contains("4, 8"),
+        s"banded probe explode missing from:\n$opt")
+      // cover clamping (coarse cells descend, fine cells lift+dedup) keeps
+      // rows IDENTICAL under the band — triangle 995 included, whose
+      // envelope-fallback/exact cover cells sit outside [4, 8]
+      assert(df.as[(String, String, Long)].collect().toSet == bruteForce())
+    } finally {
+      spark.conf.unset("graft.pip.minLevel")
+      spark.conf.unset("graft.pip.maxLevel")
+    }
+  }
+
   test("PipJoinRewrite leaves equi-key joins alone") {
     Graft.install(spark)
     val df = spark.sql(

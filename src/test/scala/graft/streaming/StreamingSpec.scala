@@ -83,6 +83,57 @@ class StreamingSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("processing-time timeout closes idle sessions under a ProcessingTime trigger") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    // wall-clock companion to the event-time test below: state carries a
+    // 200ms processing-time timeout, the ProcessingTime trigger keeps
+    // running (empty, timeout-only) micro-batches after the single input
+    // file is consumed, and the idle sessions MUST close without any
+    // further data — the part AvailableNow cannot exercise. Wall-clock
+    // dependent, so the assertion polls with a generous deadline instead
+    // of pinning batch boundaries.
+    val src = Files.createTempDirectory("graft_stream4")
+    Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("user_id", "epoch")
+      .coalesce(1).write.parquet(src.resolve("f1").toString)
+
+    val sessions = spark.readStream.schema("user_id LONG, epoch LONG")
+      .parquet(src.toString + "/f*")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Long, (Long, Long, Boolean)](GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val n = state.get
+            state.remove()
+            (user, n, true) // closed by wall-clock idleness
+          } else {
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            state.setTimeoutDuration(200) // ms idle before the session closes
+            (user, n, false)
+          }
+      }
+
+    val q = sessions.toDF("user_id", "n", "closed")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("pt_sessions")
+      .option("checkpointLocation", Files.createTempDirectory("graft_stream4_ckpt").toString)
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      def closed() = spark.table("pt_sessions").filter($"closed")
+        .select("user_id", "n").as[(Long, Long)].collect().toMap
+      val deadline = System.currentTimeMillis() + 60000
+      var got = closed()
+      while (got.size < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        got = closed()
+      }
+      assert(got.get(1L).contains(2L) && got.get(2L).contains(1L),
+        s"both sessions must close by processing-time timeout; got $got")
+    } finally q.stop()
+  }
+
   test("session gap via mapGroupsWithState event-time timeout closes idle sessions") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     val src = Files.createTempDirectory("graft_stream3")

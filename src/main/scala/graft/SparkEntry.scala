@@ -498,7 +498,9 @@ object SparkEntry {
       "q_suggestions" -> ((s, dir) => {
         val (polys, covers) = dims(s)
         val pages = Fixtures.pages(s, dir)
-        val m = PipJoin.matches(pages, covers, polys)
+        // m feeds both the missing anti-join and the rules filter — cache
+        // so the PIP join over the full page table runs once, not twice
+        val m = PipJoin.matches(pages, covers, polys).cache()
         val miss = PipJoin.missing(pages, m, Seq("countries", "regions", "cities"))
         PipJoin.suggestions(miss, covers, polys, m,
           Seq(PipJoin.MatchRule("countries", 100L, "cities", Seq(6))))
@@ -595,6 +597,8 @@ object SparkEntry {
     "q_minhash_pairs" -> minhashOracle,
     "q_simhash_pairs" -> simhashOracle,
     "q_embed_pairs_blocked" -> embedBlockedOracle,
+    // geometry assembly — independent integer-shoelace computation
+    "q_polygons" -> polygonsOracle,
 
     "q_ann_brute" ->
       """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
@@ -870,6 +874,49 @@ object SparkEntry {
        |    64 + abs(h) % 1024 AS width,
        |    64 + abs(CAST(trunc(h / 7.0) AS BIGINT)) % 1024 AS height
        |  FROM hashed)""".stripMargin
+
+  /** Independent polygon-assembly oracle: areas by exact integer
+    * micro-degree shoelace over the INPUT-level rings (CCW-normalized
+    * edges — the same edgeValues the PIP oracle uses; holes subtract),
+    * bboxes by min/max over the outer-ring vertices — no JTS anywhere.
+    * The fixture grid is 6-decimal, so µdeg coordinates are exact int64
+    * and the shoelace sum is exact; the Spark side's JTS double area
+    * differs from the exact rational by ~1e-12, far inside the 1e-9
+    * rounding grain (verified for every fixture row).
+    */
+  private def polygonsOracle: String = {
+    val metaVals = sqlOracleDims.map { case (layer, relId, al, name, _, _) =>
+      s"('$layer', $relId, $al, '$name')"
+    }.mkString(",\n    ")
+    s"""WITH edges AS (SELECT layer, CAST(rel_id AS BIGINT) AS rel_id, role,
+       |                 CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1,
+       |                 CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2
+       |          FROM (VALUES
+       |    ${edgeValues(sqlOracleDims)}
+       |  ) AS t(layer, rel_id, role, x1, y1, x2, y2)),
+       |meta AS (SELECT layer, CAST(rel_id AS BIGINT) AS rel_id, admin_level, name FROM (VALUES
+       |    $metaVals
+       |  ) AS t(layer, rel_id, admin_level, name)),
+       |areas AS (
+       |  SELECT layer, rel_id,
+       |         sum((CASE WHEN role = 'outer' THEN 1 ELSE -1 END) *
+       |             (CAST(round(x1 * 1000000) AS BIGINT) * CAST(round(y2 * 1000000) AS BIGINT)
+       |            - CAST(round(x2 * 1000000) AS BIGINT) * CAST(round(y1 * 1000000) AS BIGINT))) AS a2
+       |  FROM edges GROUP BY 1, 2),
+       |boxes AS (
+       |  SELECT layer, rel_id,
+       |         min(least(x1, x2)) AS minx, min(least(y1, y2)) AS miny,
+       |         max(greatest(x1, x2)) AS maxx, max(greatest(y1, y2)) AS maxy
+       |  FROM edges WHERE role = 'outer' GROUP BY 1, 2)
+       |SELECT m.rel_id AS relId, CAST(m.admin_level AS INT) AS adminLevel,
+       |       m.layer AS layer, m.name AS name,
+       |       round(CAST(a.a2 AS DOUBLE) / 2000000000000.0, 9) AS area,
+       |       round(b.minx, 6) AS minx, round(b.miny, 6) AS miny,
+       |       round(b.maxx, 6) AS maxx, round(b.maxy, 6) AS maxy
+       |FROM meta m
+       |JOIN areas a ON a.layer = m.layer AND a.rel_id = m.rel_id
+       |JOIN boxes b ON b.layer = m.layer AND b.rel_id = m.rel_id""".stripMargin
+  }
 
   // ---- sketch oracles: the SQL-replicable hash families ------------------
   // TextOps/Similarity compute every sketch with 31-polynomial base hashes

@@ -219,9 +219,14 @@ object Export {
     val clipped = TopoPipeline.clipWater(
       preSimplified.select("objId", "wkb", "bbox"), water, simplifyDigits)
 
-    // recompute bbox after clipping, then final quantized topology
+    // recompute bbox after clipping, then final quantized topology.
+    // cache: topology() evaluates its feature input twice (ring explode +
+    // the objects bbox join), and rebboxed chains the pre-simplify
+    // topology + reconstruct + water clip — without the cache that whole
+    // pipeline runs twice per export
     val rebboxed = clipped
       .withColumn("bbox", graft.functions.GeomExpressions.st_envelope(col("wkb")))
+      .cache()
     val topo = TopoPipeline.topology(rebboxed, simplifyDigits, quantize)
     val sl = TopoPipeline.slices(topo.objects, pointLimit)
     LayerResult(layerId, topo, sl, props)

@@ -164,7 +164,7 @@ object Similarity {
 
     var centroids = emb.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
-    var assigned = assign(centroids)
+    var assigned = assign(centroids).localCheckpoint()
     for (_ <- 1 to iterations) {
       // new centroid = elementwise mean of the list (id kept stable)
       val means = assigned
@@ -174,7 +174,11 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("centroid_id"), expr("transform(dm, p -> p.m)").as("cvec"))
       centroids = means
-      assigned = assign(centroids)
+      // localCheckpoint per Lloyd round (the kNN/connectedComponents
+      // discipline): assign(N) chains through every earlier round's means
+      // and assignment, so without truncation each iteration re-runs the
+      // whole history — O(iterations²) work
+      assigned = assign(centroids).localCheckpoint()
     }
     IvfIndex(assigned, centroids)
   }

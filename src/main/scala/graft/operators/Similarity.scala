@@ -14,12 +14,19 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two array<float|double> columns as a codegen'd
-    * column expression (deterministic array-order summation).
+    * column expression (deterministic array-order summation). Zero-norm
+    * vectors yield 0.0 ("no similarity" — every >= threshold filter drops
+    * them; NaN would NOT, since Spark orders NaN above all numbers)
+    * instead of the DIVIDE_BY_ZERO error ANSI mode (Spark 4 default)
+    * raises — one zero embedding must not kill a corpus-scale job.
     */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+    val na = sqrt(dot(a, a))
+    val nb = sqrt(dot(b, b))
+    when(na === 0.0 || nb === 0.0, lit(0.0))
+      .otherwise(dot(a, b) / na / nb)
   }
 
   /** Brute-force top-k: queries (small, broadcast) × embeddings → cosine →

@@ -154,4 +154,57 @@ class CovererSpec extends AnyFunSuite {
     val ring = sq(-60.0, -10.0, 5.0)
     assert(Coverer.cover(ring).toSeq == Coverer.cover(ring).toSeq)
   }
+
+  private def poly(ring: IndexedSeq[(Double, Double)]) = graft.geom.Jts.polygon(ring)
+
+  test("coverExact at the world edges: pole-touching and antimeridian-touching polygons") {
+    // polygon touching the north-pole row and the antimeridian edge —
+    // the exact coverer must neither crash nor miss interior points there
+    val nearPole = poly(sq(0.0, 89.0, 0.9))
+    val nearAm = poly(sq(-179.0, 0.0, 0.9))
+    for ((g, probes) <- Seq(
+      nearPole -> Seq((0.0, 89.5), (-0.5, 88.5)),
+      nearAm -> Seq((-179.5, 0.5), (-178.3, -0.5)))) {
+      val cells = Coverer.coverExact(g)
+      assert(cells.nonEmpty)
+      probes.foreach { case (lon, lat) =>
+        val leaf = Cell.leaf(lon, lat)
+        assert(cells.exists(c => Cell.contains(c, leaf)), s"($lon,$lat) not covered")
+      }
+      for (a <- cells; b <- cells if a != b) assert(!Cell.contains(a, b))
+    }
+  }
+
+  test("coverExact terminates early on cells fully inside the polygon") {
+    // a big polygon: the world refines to cells that are fully covered,
+    // which must terminate (not refine to MaxLevel)
+    val big = poly(sq(0.0, 0.0, 40.0))
+    val cells = Coverer.coverExact(big)
+    // minLevel forces refinement to level 4 regardless of budget (same as
+    // the reference coverer), so a continent-sized polygon may exceed
+    // MaxCells — but it must stay COARSE, not refine toward MaxLevel
+    assert(cells.nonEmpty && cells.length < 200)
+    assert(cells.forall(c => Cell.level(c) <= 8), s"early termination failed: ${cells.map(Cell.level).toSeq}")
+  }
+
+  test("clampCover: band membership, disjointness, and superset under descend + lift") {
+    val cells = Coverer.coverExact(poly(sq(4.0, 51.0, 2.0)))
+    val clamped = Coverer.clampCover(cells, 6, 7)
+    clamped.foreach { c =>
+      val l = Cell.level(c)
+      assert(l >= 6 && l <= 7, s"level $l outside band")
+    }
+    for (a <- clamped; b <- clamped if a != b) assert(!Cell.contains(a, b))
+    // superset: every leaf covered before stays covered
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 200) {
+      val lon = 4.0 + (rnd.nextDouble() * 4 - 2) * 0.98
+      val lat = 51.0 + (rnd.nextDouble() * 4 - 2) * 0.98
+      val leaf = Cell.leaf(lon, lat)
+      if (cells.exists(c => Cell.contains(c, leaf)))
+        assert(clamped.exists(c => Cell.contains(c, leaf)), s"($lon,$lat) lost by clamp")
+    }
+    // no-op band returns the input untouched
+    assert(Coverer.clampCover(cells, 0, Cell.MaxLevel).toSeq == cells.toSeq)
+  }
 }

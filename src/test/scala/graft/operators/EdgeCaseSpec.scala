@@ -33,6 +33,25 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(lang.length == 6)
   }
 
+  test("sketch dedup survives degenerate documents; token-free docs pair trivially") {
+    // docs 1 (empty) and 2 (whitespace-only) have zero tokens: both
+    // minhash over the single degenerate shingle "" and simhash 0 — they
+    // must collide and verify (jaccard({""},{""}) = 1, hamming 0), not crash
+    val mh = TextOps.minhashDedup(weirdDocs, 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(mh.contains((1L, 2L)), s"token-free docs must minhash-pair; got $mh")
+    val sh = TextOps.simhashDedup(weirdDocs, 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(sh.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 0))
+    // zero vectors: cosine is defined as 0.0 (not a DIVIDE_BY_ZERO crash
+    // under ANSI mode, not NaN — which Spark orders ABOVE every number,
+    // so a NaN would slip through the >= threshold filter)
+    val blocked = Similarity.embeddingDedupBlocked(
+      Seq((1L, Seq.fill(8)(0.0f)), (2L, Seq.fill(8)(0.0f)), (3L, Seq.tabulate(8)(_.toFloat)))
+        .toDF("vec_id", "embedding"), 0.4)
+    assert(!blocked.collect().exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
   test("cell math at the poles, dateline, and garbage coordinates") {
     // corners of the coordinate space: valid cells at every level
     for ((lon, lat) <- Seq((-180.0, -90.0), (180.0, 90.0), (0.0, 0.0),

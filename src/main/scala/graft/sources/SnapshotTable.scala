@@ -197,12 +197,15 @@ object SnapshotTable {
 
   def read(spark: SparkSession, base: String, table: String): DataFrame = {
     val m = latest(base, table).getOrElse(sys.error(s"no snapshot for $table"))
-    val dfs = m.partitions.map { p =>
-      // partitionBy strips the partition column from the data files;
-      // restore it from the manifest key (string-typed partition columns)
-      spark.read.parquet(p.path).withColumn(m.partCol, lit(p.key))
-    }
-    dfs.reduce(_ unionByName _)
+    // ONE multi-path scan, not a unionByName tower (one DataFrame per
+    // partition makes a 10⁴-partition snapshot a 10⁴-node plan — driver
+    // plan explosion at scale). partitionBy strips the partition column
+    // from the data files; each manifest path IS a `partCol=value`
+    // directory (possibly under different snapshot dirs for kept
+    // partitions), so restore the value from the file path.
+    spark.read.parquet(m.partitions.map(_.path): _*)
+      .withColumn(m.partCol,
+        regexp_extract(input_file_name(), java.util.regex.Pattern.quote(m.partCol) + "=([^/]+)/", 1))
   }
 
   /** Keyed MERGE (upsert + delete) producing a new snapshot — the diff

@@ -71,51 +71,82 @@ object TopoPipeline {
 
   private def ptKey(p: (Double, Double)): String = s"${p._1}:${p._2}"
 
-  /** TopoJSON "join": a point is a junction when it occurs with more than
-    * one distinct (unordered) neighbor pair across all rings. Closed rings
-    * wrap around, so ring starts are not artificial junctions.
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"$b%02x"))
+    sb.toString
+  }
+
+  /** Exploded ring points with junction context: one row per open-ring
+    * vertex carrying its unordered neighbor pair (the TopoJSON "join"
+    * criterion) plus its ring coordinates, so junction detection AND
+    * per-ring position collection both derive from ONE explode pass.
     */
-  def junctions(ringsDf: DataFrame): DataFrame = {
+  private def ringPoints(ringsDf: DataFrame): DataFrame = {
     val spark = ringsDf.sparkSession
     import spark.implicits._
     ringsDf.as[RingRow].flatMap { r =>
       val open = r.pts.dropRight(1) // closed ring: last == first
       val n = open.length
       (0 until n).iterator.map { i =>
-        val p = open(i)
         val a = ptKey(open((i - 1 + n) % n))
         val b = ptKey(open((i + 1) % n))
         val pair = if (a <= b) s"$a|$b" else s"$b|$a"
-        (ptKey(p), pair)
+        (r.objId, r.polyIdx, r.ringIdx, i, ptKey(open(i)), pair)
       }
-    }.toDF("pt", "pair")
+    }.toDF("objId", "polyIdx", "ringIdx", "i", "pt", "pair")
+  }
+
+  /** TopoJSON "join": a point is a junction when it occurs with more than
+    * one distinct (unordered) neighbor pair across all rings. Closed rings
+    * wrap around, so ring starts are not artificial junctions.
+    */
+  def junctions(ringsDf: DataFrame): DataFrame =
+    ringPoints(ringsDf)
       .groupBy("pt").agg(countDistinct("pair").as("nPairs"))
       .filter(col("nPairs") > 1)
       .select("pt")
-  }
+
+  /** Per-ring junction positions in ONE aggregation over the exploded
+    * point table: detect junctions and carry their (ring, index)
+    * occurrences through the same groupBy, so the big table shuffles once
+    * (by point key) and only the junction occurrences — tiny relative to
+    * the input — reshuffle by ring. The detect-then-equi-join shape this
+    * replaces shuffled the full point table twice. Per-point occurrence
+    * lists are bounded by the number of rings meeting at the point.
+    */
+  private def junctionPositions(pts: DataFrame): DataFrame =
+    pts.groupBy("pt")
+      .agg(countDistinct("pair").as("nPairs"),
+        collect_list(struct(col("objId"), col("polyIdx"), col("ringIdx"), col("i"))).as("occ"))
+      .filter(col("nPairs") > 1)
+      .select(explode(col("occ")).as("o"))
+      .groupBy(col("o.objId").as("objId"), col("o.polyIdx").as("polyIdx"),
+        col("o.ringIdx").as("ringIdx"))
+      .agg(sort_array(collect_list(col("o.i"))).as("jIdx"))
 
   /** Cut rings into arcs at junctions; rings without junctions stay one
     * closed arc. Rings with junctions are rotated to start at their first
     * junction occurrence (deterministic).
     *
-    * Distributed: each ring learns its junction positions through a join
-    * against the junction table (explode points → equi-join on the point
-    * key → collect positions per ring) — no driver-side junction collect,
-    * so the path scales to planet-sized topologies.
+    * Distributed: each ring learns its junction positions through the
+    * `perRing` table (objId, polyIdx, ringIdx, jIdx) — no driver-side
+    * junction collect, so the path scales to planet-sized topologies.
     */
   def cut(ringsDf: DataFrame, junctionsDf: DataFrame): DataFrame = {
-    val spark = ringsDf.sparkSession
-    import spark.implicits._
-
-    val ringPts = ringsDf.as[RingRow].flatMap { r =>
-      val open = r.pts.dropRight(1)
-      open.iterator.zipWithIndex.map { case (p, i) => (r.objId, r.polyIdx, r.ringIdx, i, ptKey(p)) }
-    }.toDF("objId", "polyIdx", "ringIdx", "i", "pt")
-
-    val perRing = ringPts.join(junctionsDf, Seq("pt"))
+    // API-parity path: positions from an externally-supplied junction
+    // point table (tests / ad-hoc callers). topology() uses the fused
+    // junctionPositions pass instead.
+    val perRing = ringPoints(ringsDf).join(junctionsDf, Seq("pt"))
       .groupBy("objId", "polyIdx", "ringIdx")
       .agg(sort_array(collect_list(col("i"))).as("jIdx"))
+    cutWithPositions(ringsDf, perRing)
+  }
 
+  private def cutWithPositions(ringsDf: DataFrame, perRing: DataFrame): DataFrame = {
+    val spark = ringsDf.sparkSession
+    import spark.implicits._
     ringsDf.join(perRing, Seq("objId", "polyIdx", "ringIdx"), "left")
       .select(col("objId").as("_1"), col("polyIdx").as("_2"), col("ringIdx").as("_3"),
         col("pts").as("_4"),
@@ -152,8 +183,14 @@ object TopoPipeline {
         val fwd = a.map(ptKey).mkString(";")
         val rev = a.reverse.map(ptKey).mkString(";")
         val reversed = rev < fwd
+        // the shuffled/joined key is a BOUNDED 128-bit content hash of the
+        // canonical serialization, not the serialization itself — a planet
+        // arc can be 10^4+ points (~200 KB as a string), and the dedup
+        // shuffle + uses join would otherwise move that string twice per
+        // use. 32 hex chars keeps shuffle width constant; an accidental
+        // md5 collision across distinct arcs is ~2^-64 territory.
         (r.objId, r.polyIdx, r.ringIdx, si,
-          if (reversed) rev else fwd,
+          md5Hex(if (reversed) rev else fwd),
           reversed,
           if (reversed) a.reverse else a)
       }.iterator
@@ -168,13 +205,35 @@ object TopoPipeline {
     import spark.implicits._
     val maxErr = if (simplifyDigits > 0) math.pow(10, -simplifyDigits) else 0.0
 
+    def prof[A](n: String)(f: => A): A =
+      if (!sys.props.contains("graft.prof")) f
+      else { val t0 = System.nanoTime(); val r = f
+             println(f"TOPOPROF $n%-18s ${(System.nanoTime() - t0) / 1e9}%7.3f s"); r }
+
     val ringsDf = rings(features).cache()
-    val cutDf = cut(ringsDf, junctions(ringsDf)).cache()
+    val cutDf = cutWithPositions(ringsDf, junctionPositions(ringPoints(ringsDf))).cache()
+    // materialize the cut ONCE so the ring explode + junction aggregation
+    // run a single time no matter how many downstream actions consume the
+    // topology (arcs, uses, objects, transform each trigger their own job)
+    prof("cut.count")(cutDf.count())
+    ringsDf.unpersist()
 
     // shared-arc dedup: one row per canonical key, deterministic dense ids.
     // Ids come from a distributed sort + zipWithIndex (not a global-window
     // row_number, which would funnel every arc through one partition).
-    val dedupDf = cutDf.select(col("key"), col("pts")).dropDuplicates("key").sort("key")
+    // Range-partition + in-partition sort + run-length dedup = ONE shuffle
+    // (dropDuplicates+sort was two); rows sharing a key are byte-identical
+    // (the key hashes the full canonical serialization), and range
+    // partitions are globally ordered, so zipWithIndex assigns the same
+    // ids a global sort would.
+    val dedupDf = cutDf.select(col("key"), col("pts"))
+      .repartitionByRange(col("key"))
+      .sortWithinPartitions("key")
+      .as[(String, Seq[(Double, Double)])]
+      .mapPartitions { it =>
+        var last: String = null
+        it.filter { case (k, _) => val keep = k != last; last = k; keep }
+      }.toDF("key", "pts")
     val arcSchema = dedupDf.schema.add("arcId", "long")
     val uniqueArcs = spark.createDataFrame(
       dedupDf.rdd.zipWithIndex.map { case (r, i) =>
@@ -182,31 +241,36 @@ object TopoPipeline {
       }, arcSchema)
       .cache()
 
-    // per-arc simplification with pinned endpoints (topology-preserving)
+    // per-arc simplification with pinned endpoints (topology-preserving);
+    // cached — arcLens, the quantize transform, arcsQ and the caller's
+    // arcs all consume it
     val simplified =
-      if (maxErr <= 0) uniqueArcs.select("arcId", "pts")
+      (if (maxErr <= 0) uniqueArcs.select("arcId", "pts")
       else uniqueArcs.select(col("arcId"), col("pts")).as[(Long, Seq[(Double, Double)])]
         .map { case (id, pts) =>
           (id, Algorithms.douglasPeucker(pts.toIndexedSeq, maxErr): Seq[(Double, Double)])
-        }.toDF("arcId", "pts")
+        }.toDF("arcId", "pts")).cache()
 
     val uses = cutDf.join(uniqueArcs.select("key", "arcId"), Seq("key"))
       .select("objId", "polyIdx", "ringIdx", "segIdx", "arcId", "reversed")
 
     // objects: bbox + point count through arc indirection (E4 semantics)
     val arcLens = simplified.select(col("arcId"), size(col("pts")).as("len"))
+    // cached: one row per exported object (tiny) — slices() collects it
+    // and callers re-scan it for export metadata
     val objects = uses.join(arcLens, Seq("arcId"))
       .groupBy("objId").agg(sum("len").as("nPoints"))
       .join(features.select(col("objId"),
         col("bbox.minx").as("minx"), col("bbox.miny").as("miny"),
         col("bbox.maxx").as("maxx"), col("bbox.maxy").as("maxy")), Seq("objId"))
+      .cache()
 
     // quantization: global transform over simplified arcs (PostQuantize)
     val transform =
       if (quantize <= 0) None
       else {
-        val ext = simplified.select(explode(col("pts")).as("p"))
-          .agg(min("p._1"), max("p._1"), min("p._2"), max("p._2")).head()
+        val ext = prof("transform.extent")(simplified.select(explode(col("pts")).as("p"))
+          .agg(min("p._1"), max("p._1"), min("p._2"), max("p._2")).head())
         val (x0, x1, y0, y1) = (ext.getDouble(0), ext.getDouble(1), ext.getDouble(2), ext.getDouble(3))
         val kx = if (x1 > x0) (quantize - 1) / (x1 - x0) else 1.0
         val ky = if (y1 > y0) (quantize - 1) / (y1 - y0) else 1.0
@@ -229,7 +293,6 @@ object TopoPipeline {
       }.toDF("arcId", "qpts")
     }
 
-    ringsDf.unpersist()
     Topology(simplified, arcsQ, uses, objects, transform)
   }
 

@@ -14,7 +14,7 @@ class GoldenSpec extends SparkTestBase {
     "q_pip_spatial" -> "707f1f26e931f06b",
     "q_cell_covers" -> "ac05b38934bc8b8f",
     "q_polygons" -> "3b26c6fd86161aae",
-    "q_topo_arcs" -> "ebf5b6ad35fc4a3f",
+    "q_topo_arcs" -> "91c21dbd1a9a97bd", // refrozen round 3: arc join key = bounded md5 of the canonical serialization (ids re-ordered by hash; arc contents unchanged — q_topo_slices golden + round-trip property still hold)
     "q_topo_slices" -> "52b2c0ad086f3129",
     "q_knn" -> "3ad15122646a3ea3",
     "q_tile_counts" -> "8cc4c6e0c3fad844",

@@ -208,16 +208,27 @@ object SparkEntry {
         |       count(*) AS n, CAST(round(sum(round(value * 100))) AS BIGINT) AS value_c
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // Two-phase top-k: a window partitioned by center alone would funnel
+    // EVERY row through k reducers (5 partitions for the whole table — the
+    // 100 TB killer). Phase 1 ranks within (center, doc_id%64) buckets so
+    // the heavy window spreads over 64x more reducers; phase 2 ranks the
+    // <= 3*64 per-bucket survivors. Global top-3 == top-3 of per-bucket
+    // top-3s, and (dist2, doc_id) is a total order, so results are
+    // identical.
     "q_topk_centers" ->
       s"""WITH pages AS (${Fixtures.pagesCte}),
          |centers AS (SELECT * FROM (VALUES $centersValues) AS t(center_id, name, cx, cy)),
          |scored AS (
          |  SELECT c.center_id, p.doc_id,
          |         round((p.lon - c.cx) * (p.lon - c.cx) + (p.lat - c.cy) * (p.lat - c.cy), 9) AS dist2,
-         |         row_number() OVER (PARTITION BY c.center_id
-         |                            ORDER BY round((p.lon - c.cx) * (p.lon - c.cx) + (p.lat - c.cy) * (p.lat - c.cy), 9), p.doc_id) AS rnk
-         |  FROM centers c CROSS JOIN pages p)
-         |SELECT center_id, CAST(rnk AS BIGINT) AS rnk, doc_id, dist2 FROM scored WHERE rnk <= 3""".stripMargin,
+         |         row_number() OVER (PARTITION BY c.center_id, p.doc_id % 64
+         |                            ORDER BY round((p.lon - c.cx) * (p.lon - c.cx) + (p.lat - c.cy) * (p.lat - c.cy), 9), p.doc_id) AS rl
+         |  FROM centers c CROSS JOIN pages p),
+         |ranked AS (
+         |  SELECT center_id, doc_id, dist2,
+         |         row_number() OVER (PARTITION BY center_id ORDER BY dist2, doc_id) AS rnk
+         |  FROM scored WHERE rl <= 3)
+         |SELECT center_id, CAST(rnk AS BIGINT) AS rnk, doc_id, dist2 FROM ranked WHERE rnk <= 3""".stripMargin,
 
     "q_union_dedup" ->
       """SELECT DISTINCT doc_id, lang FROM (
@@ -300,16 +311,19 @@ object SparkEntry {
         |WHERE (doc_id * 2654435761) % 1000 <
         |      CASE lang WHEN 'en' THEN 500 WHEN 'nl' THEN 300 ELSE 100 END""".stripMargin,
 
-    // TF-IDF top-3 terms per document (keyword extraction): tf and df are
-    // partial-aggregable groupBys on the exploded term table; top-k is a
-    // per-doc window. DuckDB list dialect; Spark variant via overrides.
+    // TF-IDF top-3 terms per document (keyword extraction): tf is a
+    // partial-aggregable groupBy on the exploded term table; df rides tf
+    // (count of docs per term == row count of the already-unique tf) so
+    // the explode aggregates once — Spark reuses the tf exchange for both
+    // join sides instead of re-exploding with a count(DISTINCT). Top-k is
+    // a per-doc window. DuckDB list dialect; Spark variant via overrides.
     "q_tfidf_topk" ->
       """WITH terms AS (
         |  SELECT doc_id,
         |         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
         |  FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
-        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         |n AS (SELECT count(*) AS n FROM documents),
         |scored AS (
         |  SELECT tf.doc_id, tf.term,

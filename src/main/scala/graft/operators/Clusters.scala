@@ -36,28 +36,44 @@ object Clusters {
   def jaccardPairs(docs: DataFrame, threshold: Double, shingleLen: Int = 3): DataFrame = {
     val toks = docs.select(col("doc_id"),
       filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "").as("ts"))
+    // cached: the shingle construction (tokenize + n-gram join + distinct,
+    // all higher-order array funcs) is the expensive part, and FOUR
+    // consumers scan it (df counts, prefix ranks, both verify joins).
+    // Session-scoped; callers reach this through the memoized
+    // SparkEntry.jacPairs, so one cache entry per (session, input).
     val shingled = toks.select(col("doc_id"),
       when(size(col("ts")) >= shingleLen,
         array_distinct(transform(sequence(lit(1), size(col("ts")) - (shingleLen - 1)),
           i => array_join(slice(col("ts"), i, lit(shingleLen)), " "))))
         .otherwise(array().cast("array<string>")).as("s"))
+      .cache()
 
+    // postings carry an int64 shingle hash: the df groupBy, the df join
+    // and the candidate self-join all key on 8-byte longs instead of
+    // full n-gram strings (the string rides exactly one shuffle, as sort
+    // payload for the order tiebreak). A hash collision only (a) merges
+    // two shingles' df counts — the global order stays TOTAL via the
+    // (df, shh, sh) tiebreak, and the prefix filter is lossless under ANY
+    // total order — and (b) adds false candidates, which exact
+    // verification prunes. Output is identical to the unhashed join
+    // (ClustersSpec brute-force equality).
     val posts = shingled
       .select(col("doc_id"), size(col("s")).as("nsh"), explode(col("s")).as("sh"))
-    val dfreq = posts.groupBy("sh").agg(count(lit(1)).as("df"))
-    // per-doc rank under the global (df, sh) order; keep only the prefix
-    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+      .withColumn("shh", xxhash64(col("sh")))
+    val dfreq = posts.groupBy("shh").agg(count(lit(1)).as("df"))
+    // per-doc rank under the global (df, shh, sh) order; keep the prefix
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("shh"), col("sh"))
     // required overlap ⌈t·|s|⌉ with an FP tolerance: double arithmetic can
     // round 0.29*100 up past the integer (29.000000000000004 → ceil 30),
     // which would SHORTEN the prefix and silently drop at-threshold pairs;
     // the tolerance lets the prefix only err longer, never shorter
-    val prefix = posts.join(dfreq, "sh")
+    val prefix = posts.join(dfreq, "shh")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= col("nsh") - ceil(col("nsh") * threshold - 1e-9) + 1)
-      .select("doc_id", "sh")
+      .select("doc_id", "shh")
 
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("shh"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("shh")), Seq("shh"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
@@ -117,17 +133,31 @@ object Clusters {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
+    // conf graft.cc.exactConvergence=true swaps the probabilistic
+    // signature for a set-equality check (symmetric except, two extra
+    // joins per round) — the paranoid mode TODO.md item C describes
+    val exact = edges.sparkSession.conf
+      .getOption("graft.cc.exactConvergence").exists(_.toBoolean)
+    var prevE = e
     var prev = (-1L, -1L, -1L)
     var it = 0
     var stable = false
     while (it < maxIter && !stable) {
+      val t0 = System.nanoTime()
       e = smallStar(largeStar(e)).localCheckpoint() // truncate lineage per round
-      val row = e.agg(count(lit(1)), sum(col("a") + col("b")),
-        sum(hash(col("a"), col("b")).cast("long"))).head()
-      val sig = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1),
-        if (row.isNullAt(2)) 0L else row.getLong(2))
-      stable = sig == prev
-      prev = sig
+      if (exact) {
+        stable = it > 0 && e.exceptAll(prevE).isEmpty && prevE.exceptAll(e).isEmpty
+        prevE = e
+      } else {
+        val row = e.agg(count(lit(1)), sum(col("a") + col("b")),
+          sum(hash(col("a"), col("b")).cast("long"))).head()
+        val sig = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1),
+          if (row.isNullAt(2)) 0L else row.getLong(2))
+        stable = sig == prev
+        prev = sig
+      }
+      if (sys.props.contains("graft.prof"))
+        println(f"CCPROF round $it ${(System.nanoTime() - t0) / 1e9}%6.3f s")
       it += 1
     }
     // a non-converged edge set is NOT a star forest — labels derived from

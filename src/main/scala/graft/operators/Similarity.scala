@@ -21,13 +21,31 @@ object Similarity {
     * raises — one zero embedding must not kill a corpus-scale job.
     */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
     val na = sqrt(dot(a, a))
     val nb = sqrt(dot(b, b))
     when(na === 0.0 || nb === 0.0, lit(0.0))
       .otherwise(dot(a, b) / na / nb)
   }
+
+  /** Sequential array-order dot product — a single codegen'd primitive
+    * loop (`VecDot`), bit-identical to the `aggregate(zip_with(_*_), 0.0,
+    * _+_)` composition it replaced (same IEEE summation order) but ~an
+    * order of magnitude cheaper per pair on the all-pairs paths.
+    */
+  def dot(x: Column, y: Column): Column =
+    graft.functions.VecExpressions.vec_dot(x, y)
+
+  /** Cosine from a precomputed per-pair dot and per-ROW norms: on any
+    * join that scores n·m pairs, computing `sqrt(dot(v,v))` inside the
+    * pair expression redoes each row's norm m (resp. n) times — hoist it
+    * to a map-side column on each input instead. Same guard and division
+    * order as `cosine`, so results are bit-identical.
+    */
+  private def cosineFromParts(dotAb: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dotAb / na / nb)
+
+  private def withNorm(df: DataFrame, vecCol: String, normCol: String): DataFrame =
+    df.withColumn(normCol, sqrt(dot(col(vecCol), col(vecCol))))
 
   /** Brute-force top-k: queries (small, broadcast) × embeddings → cosine →
     * row_number ≤ k with deterministic (score desc, vec_id) ordering.
@@ -35,12 +53,14 @@ object Similarity {
     * stability.
     */
   def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val emb = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val emb = withNorm(embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("vec")), "vec", "nrm")
     val queries = emb.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("nrm").as("qnrm"))
     val scored = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("qvec"), col("vec")), 6))
+      .withColumn("cos", round(cosineFromParts(
+        dot(col("qvec"), col("vec")), col("qnrm"), col("nrm")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -52,11 +72,13 @@ object Similarity {
     * baseline; at scale use `embeddingDedupBlocked`.
     */
   def embeddingDedupExact(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val emb = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val emb = withNorm(embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("vec")), "vec", "nrm")
     emb.as("a").crossJoin(emb.as("b"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosine(col("a.vec"), col("b.vec")), 6).as("cos"))
+        round(cosineFromParts(dot(col("a.vec"), col("b.vec")),
+          col("a.nrm"), col("b.nrm")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -128,10 +150,12 @@ object Similarity {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
 
+    val embN = withNorm(emb, "vec", "nrm")
     pairs
-      .join(emb.select(col("vec_id").as("vec_a"), col("vec").as("va")), Seq("vec_a"))
-      .join(emb.select(col("vec_id").as("vec_b"), col("vec").as("vb")), Seq("vec_b"))
-      .select(col("vec_a"), col("vec_b"), round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .join(embN.select(col("vec_id").as("vec_a"), col("vec").as("va"), col("nrm").as("na")), Seq("vec_a"))
+      .join(embN.select(col("vec_id").as("vec_b"), col("vec").as("vb"), col("nrm").as("nb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosineFromParts(dot(col("va"), col("vb")), col("na"), col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

@@ -42,6 +42,17 @@ class ClustersSpec extends SparkTestBase {
     assert(got(5L) == 1L && got(12L) == 10L && got(23L) == 20L && got(31L) == 30L)
   }
 
+  test("connectedComponents: exact-convergence mode matches union-find too") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (30L, 31L))
+    spark.conf.set("graft.cc.exactConvergence", "true")
+    try {
+      val got = ccOf(edges)
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      assert(got == unionFind(nodes, edges))
+    } finally spark.conf.unset("graft.cc.exactConvergence")
+  }
+
   test("connectedComponents: random graphs match union-find (property)") {
     val rnd = new Random(42)
     (0 until 5).foreach { trial =>

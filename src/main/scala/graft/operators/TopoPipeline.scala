@@ -118,7 +118,11 @@ object TopoPipeline {
     */
   private def junctionPositions(pts: DataFrame): DataFrame =
     pts.groupBy("pt")
-      .agg(countDistinct("pair").as("nPairs"),
+      // collect_set, not countDistinct: a distinct aggregate next to a
+      // collect_list makes Catalyst plan an Expand that doubles the
+      // exploded point table before aggregating; the per-point pair set is
+      // tiny (bounded by rings meeting there), so set-collect is cheaper
+      .agg(size(collect_set(col("pair"))).as("nPairs"),
         collect_list(struct(col("objId"), col("polyIdx"), col("ringIdx"), col("i"))).as("occ"))
       .filter(col("nPairs") > 1)
       .select(explode(col("occ")).as("o"))

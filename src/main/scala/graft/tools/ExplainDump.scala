@@ -1,0 +1,26 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dump formatted plans for PLANS.md (dev tooling). */
+object ExplainDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("explain-dump")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    println("==== q_embed_pairs (exact, VecDot) ====")
+    graft.operators.Similarity.embeddingDedupExact(
+      spark.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") < 1000), 0.4)
+      .explain("formatted")
+    println("==== jaccardPairs candidate stage ====")
+    graft.operators.Clusters.jaccardPairs(
+      graft.sources.Fixtures.documents(spark, dir), 0.3).explain("formatted")
+    spark.stop()
+  }
+}

@@ -614,22 +614,35 @@ object SparkEntry {
     // geometry assembly — independent integer-shoelace computation
     "q_polygons" -> polygonsOracle,
 
+    // cosine oracles carry the engine's zero-norm guard (cosine(0,·)=0.0,
+    // never NaN): DuckDB's list_cosine_similarity yields NaN on a zero
+    // vector, and NaN sorts ABOVE every number in its total float order,
+    // so an unguarded `>= threshold` would emit pairs the engine drops
     "q_ann_brute" ->
-      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, vec AS qv FROM emb WHERE vec_id <= 9),
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+        |                    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), v -> v * v))) AS nrm
+        |             FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, vec AS qv, nrm AS qnrm FROM emb WHERE vec_id <= 9),
         |scored AS (
-        |  SELECT q.query_id, e.vec_id, round(list_cosine_similarity(q.qv, e.vec), 6) AS cos,
+        |  SELECT q.query_id, e.vec_id,
+        |         CASE WHEN q.qnrm = 0 OR e.nrm = 0 THEN 0.0
+        |              ELSE round(list_cosine_similarity(q.qv, e.vec), 6) END AS cos,
         |         row_number() OVER (PARTITION BY q.query_id
-        |                            ORDER BY round(list_cosine_similarity(q.qv, e.vec), 6) DESC, e.vec_id) AS rank
+        |                            ORDER BY CASE WHEN q.qnrm = 0 OR e.nrm = 0 THEN 0.0
+        |                                          ELSE round(list_cosine_similarity(q.qv, e.vec), 6) END DESC,
+        |                                     e.vec_id) AS rank
         |  FROM q CROSS JOIN emb e WHERE e.vec_id != q.query_id)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM scored WHERE rank <= 5""".stripMargin,
     "q_embed_pairs" ->
-      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
-        |           WHERE vec_id < 1000)
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+        |                    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), v -> v * v))) AS nrm
+        |             FROM embeddings WHERE vec_id < 1000)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |       round(list_cosine_similarity(a.vec, b.vec), 6) AS cos
+        |       CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+        |            ELSE round(list_cosine_similarity(a.vec, b.vec), 6) END AS cos
         |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.4""".stripMargin,
+        |WHERE CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+        |           ELSE round(list_cosine_similarity(a.vec, b.vec), 6) END >= 0.4""".stripMargin,
 
     // ---- PIP family: independent half-plane containment over the fixture
     // rings (convex octagons; CCW edges in pipOracleCtes). relId 995 is
@@ -1032,6 +1045,7 @@ object SparkEntry {
       .map(j => s"($j, ${Similarity.PlaneA(j)}, ${Similarity.PlaneB(j)})").mkString(", ")
     s"""WITH emb AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+       |         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), v -> v * v))) AS nrm,
        |         list_transform(CAST(embedding AS DOUBLE[]),
        |                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
        |  FROM embeddings),
@@ -1050,9 +1064,12 @@ object SparkEntry {
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM bv a JOIN bv b ON a.band = b.band AND a.bandVal = b.bandVal AND a.vec_id < b.vec_id)
-       |SELECT c.vec_a, c.vec_b, round(list_cosine_similarity(x.vec, y.vec), 6) AS cos
+       |SELECT c.vec_a, c.vec_b,
+       |       CASE WHEN x.nrm = 0 OR y.nrm = 0 THEN 0.0
+       |            ELSE round(list_cosine_similarity(x.vec, y.vec), 6) END AS cos
        |FROM cand c JOIN emb x ON x.vec_id = c.vec_a JOIN emb y ON y.vec_id = c.vec_b
-       |WHERE round(list_cosine_similarity(x.vec, y.vec), 6) >= 0.4""".stripMargin
+       |WHERE CASE WHEN x.nrm = 0 OR y.nrm = 0 THEN 0.0
+       |           ELSE round(list_cosine_similarity(x.vec, y.vec), 6) END >= 0.4""".stripMargin
   }
 
   private def knnQueryValues: String =

@@ -459,8 +459,15 @@ object GeomExpressions {
     "st_cell_at" -> (es => STCellAt(es(0), es(1), es(2))),
     "st_cell_ancestors" -> (es => STCellAncestors(es)),
     "st_cell_cover" -> (es => STCellCover(es(0))),
-    "st_cell_cover_join" -> (es =>
-      if (es.length >= 3) STCellCoverJoin(es(0), es(1), es(2)) else STCellCoverJoin(es(0))),
+    "st_cell_cover_join" -> (es => es.length match {
+      // strict arity: 1 (full band) or 3 (explicit band). Accepting 2 and
+      // silently dropping the level argument would run a different cover
+      // than the user asked for — fail loudly like every other entry.
+      case 1 => STCellCoverJoin(es(0))
+      case 3 => STCellCoverJoin(es(0), es(1), es(2))
+      case n => throw new IllegalArgumentException(
+        s"st_cell_cover_join takes 1 (wkb) or 3 (wkb, minLevel, maxLevel) arguments, got $n")
+    }),
     "st_simplify_vw" -> (es => STSimplifyVW(es(0), es(1))),
     "st_geo_distance" -> (es => STGeoDistance(es)))
 

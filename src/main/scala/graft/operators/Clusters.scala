@@ -38,9 +38,10 @@ object Clusters {
       filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "").as("ts"))
     // cached: the shingle construction (tokenize + n-gram join + distinct,
     // all higher-order array funcs) is the expensive part, and FOUR
-    // consumers scan it (df counts, prefix ranks, both verify joins).
-    // Session-scoped; callers reach this through the memoized
-    // SparkEntry.jacPairs, so one cache entry per (session, input).
+    // consumers scan it (df counts, prefix ranks, both verify joins). The
+    // cache lives only for the duration of this call — the result is
+    // materialized below and the shingle cache released before returning,
+    // so no inner cache entry outlives the function.
     val shingled = toks.select(col("doc_id"),
       when(size(col("ts")) >= shingleLen,
         array_distinct(transform(sequence(lit(1), size(col("ts")) - (shingleLen - 1)),
@@ -79,7 +80,7 @@ object Clusters {
       .distinct()
 
     // exact verification over the full shingle sets (candidates are few)
-    cand
+    val pairs = cand
       .join(shingled.select(col("doc_id").as("doc_a"), col("s").as("sa")), Seq("doc_a"))
       .join(shingled.select(col("doc_id").as("doc_b"), col("s").as("sb")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
@@ -87,6 +88,12 @@ object Clusters {
         (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+    // EAGER: truncate lineage (the result no longer references shingled),
+    // then drop the shingle cache — callers get a small self-contained
+    // pair table and no stranded cache blocks
+    val out = pairs.localCheckpoint()
+    shingled.unpersist()
+    out
   }
 
   /** Large-star round: every node u connects its strictly-larger
@@ -137,7 +144,8 @@ object Clusters {
     // signature for a set-equality check (symmetric except, two extra
     // joins per round) — the paranoid mode TODO.md item C describes
     val exact = edges.sparkSession.conf
-      .getOption("graft.cc.exactConvergence").exists(_.toBoolean)
+      .getOption("graft.cc.exactConvergence")
+      .exists(_.trim.equalsIgnoreCase("true")) // a bad conf value must not kill the job
     var prevE = e
     var prev = (-1L, -1L, -1L)
     var it = 0
@@ -146,7 +154,9 @@ object Clusters {
       val t0 = System.nanoTime()
       e = smallStar(largeStar(e)).localCheckpoint() // truncate lineage per round
       if (exact) {
-        stable = it > 0 && e.exceptAll(prevE).isEmpty && prevE.exceptAll(e).isEmpty
+        // prevE starts as the materialized input, so comparing from round
+        // 0 is sound (output == input implies a fixed point already)
+        stable = e.exceptAll(prevE).isEmpty && prevE.exceptAll(e).isEmpty
         prevE = e
       } else {
         val row = e.agg(count(lit(1)), sum(col("a") + col("b")),

@@ -26,20 +26,21 @@ object ExportArchive {
     * entry names in archive order.
     */
   def tarGz(dir: Path, out: Path): Seq[String] = {
-    val files = Files.walk(dir).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .toSeq
-      .sortBy(p => dir.relativize(p).toString)
+    val walk = Files.walk(dir)
+    val files =
+      try walk.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+      finally walk.close() // Files.walk holds directory handles until closed
+    val sorted = files.sortBy(p => dir.relativize(p).toString)
     val os = new GZIPOutputStream(new BufferedOutputStream(Files.newOutputStream(out)))
     try {
-      files.foreach { f =>
+      sorted.foreach { f =>
         val name = dir.relativize(f).toString
         val data = Files.readAllBytes(f)
         writeEntry(os, name, data)
       }
       os.write(new Array[Byte](1024)) // end-of-archive: two zero blocks
     } finally os.close()
-    files.map(p => dir.relativize(p).toString)
+    sorted.map(p => dir.relativize(p).toString)
   }
 
   /** One ustar header block + padded file data. */
@@ -67,6 +68,7 @@ object ExportArchive {
     put(263, "00")                 // version[2]
     val sum = h.foldLeft(0L)((a, b) => a + (b & 0xff))
     put(148, "%06o".format(sum))   // chksum: 6 octal digits + NUL + space
+    h(154) = 0                     // POSIX mandates NUL here, then space
     h(155) = ' '
     os.write(h)
     os.write(data)

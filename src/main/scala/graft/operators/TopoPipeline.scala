@@ -348,9 +348,10 @@ object TopoPipeline {
     * geometry (difference only shrinks geometry, so the pre-clip bbox
     * stays a valid superset throughout the fold).
     *
-    * Two physical paths, chosen by prepped-water size — prep itself is
-    * always distributed (`prepWater`), never a raw-table driver collect:
-    *  - **broadcast** (≤ `broadcastLimitBytes` of prepped WKB): collect
+    * Two physical paths, chosen by RAW water size (a conservative proxy
+    * for the prepped size) — prep itself is always distributed
+    * (`prepWater`), never a raw-table driver collect:
+    *  - **broadcast** (≤ `broadcastLimitBytes` of raw WKB): collect
     *    the prepped rows, broadcast, bbox-prefilter per feature in a
     *    typed map — zero shuffle of the feature table;
     *  - **cell join** (planet-scale water layers): candidate
@@ -367,9 +368,14 @@ object TopoPipeline {
     */
   def clipWater(features: DataFrame, water: DataFrame, simplifyDigits: Int,
                 broadcastLimitBytes: Long = 64L << 20): DataFrame = {
-    val prepped = prepWater(water, simplifyDigits).cache()
-    val totalBytes = prepped.agg(coalesce(sum(length(col("wwkb"))), lit(0L)))
+    // strategy pick from the RAW water size: simplify+buffer(0) only ever
+    // shrinks-or-keeps the WKB within a small factor, so raw bytes are a
+    // conservative broadcast-budget proxy — and probing the raw table
+    // avoids caching the prepped one just to measure it (the join path
+    // would have no sound place to unpersist a lazy cache and leaked it)
+    val totalBytes = water.agg(coalesce(sum(length(col("wkb"))), lit(0L)))
       .head().getLong(0)
+    val prepped = prepWater(water, simplifyDigits)
     if (totalBytes <= broadcastLimitBytes) clipWaterBroadcast(features, prepped)
     else clipWaterJoin(features, prepped)
   }
@@ -382,7 +388,6 @@ object TopoPipeline {
         .as[(Long, Array[Byte], Double, Double, Double, Double)]
         .collect().sortBy(_._1)
         .map { case (_, w, x0, y0, x1, y1) => (w, (x0, y0, x1, y1)) }
-    prepped.unpersist()
     val bc = spark.sparkContext.broadcast(waterPrepped)
 
     features

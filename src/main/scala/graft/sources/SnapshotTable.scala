@@ -37,6 +37,19 @@ object SnapshotTable {
 
   private def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+  /** In-file shadow copy of the partition value (partitionBy strips the
+    * column itself from the data files). Constant per file → parquet
+    * dictionary/RLE encodes it to ~nothing.
+    */
+  private[sources] def shadowCol(partCol: String): String = s"__${partCol}_v"
+
+  /** Inverse of the %XX escaping partitionBy applies to special chars in
+    * partition dir names — manifest keys must be LOGICAL values (they are
+    * compared against column values in merge/commit-keep paths).
+    */
+  private def unescapeDir(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
+
   private def manifestJson(m: Manifest): String = {
     val parts = m.partitions.map { p =>
       s"""{"key":${q(p.key)},"path":${q(p.path)},"rows":${p.rows},"bytes":${p.bytes},""" +
@@ -133,7 +146,8 @@ object SnapshotTable {
     val toWrite = if (keepFromParent.isEmpty) df
       else df.filter(!col(partCol).isin(keepFromParent.toSeq: _*))
 
-    toWrite.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+    toWrite.withColumn(shadowCol(partCol), col(partCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol)
       .parquet(dataDir.toString)
     writeMarkers(dataDir, partCol) // job succeeded: stamp every partition
 
@@ -157,7 +171,7 @@ object SnapshotTable {
       .count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     dirs.map { p =>
-      val key = p.getFileName.toString.stripPrefix(s"$partCol=")
+      val key = unescapeDir(p.getFileName.toString.stripPrefix(s"$partCol="))
       PartitionMeta(key, p.toString, counts.getOrElse(key, 0L), dirBytes(p),
         lineage.getOrElse(key, inputs))
     }
@@ -183,10 +197,11 @@ object SnapshotTable {
       .partition(p => Files.exists(p.resolve(Marker)))
     torn.foreach(deleteRecursively)
     val existing: Set[String] =
-      complete.map(_.getFileName.toString.stripPrefix(s"$partCol=")).toSet
+      complete.map(p => unescapeDir(p.getFileName.toString.stripPrefix(s"$partCol="))).toSet
 
     val missing = df.filter(!col(partCol).isin(existing.toSeq: _*))
-    missing.write.mode(SaveMode.Append).partitionBy(partCol).parquet(dataDir.toString)
+    missing.withColumn(shadowCol(partCol), col(partCol))
+      .write.mode(SaveMode.Append).partitionBy(partCol).parquet(dataDir.toString)
     writeMarkers(dataDir, partCol)
 
     val manifest = Manifest(table, partCol, snapId, parent.map(_.snapshot).getOrElse(-1L),
@@ -200,12 +215,14 @@ object SnapshotTable {
     // ONE multi-path scan, not a unionByName tower (one DataFrame per
     // partition makes a 10⁴-partition snapshot a 10⁴-node plan — driver
     // plan explosion at scale). partitionBy strips the partition column
-    // from the data files; each manifest path IS a `partCol=value`
-    // directory (possibly under different snapshot dirs for kept
-    // partitions), so restore the value from the file path.
+    // from the data files, so commit() writes a shadow copy of the value
+    // INTO the files and read restores it by rename — exact value AND
+    // type round-trip with no file-path parsing (path extraction has two
+    // failure modes: an unanchored `col=` match elsewhere in the path,
+    // and partitionBy's %XX dir-name escaping diverging from the URI
+    // form input_file_name reports).
     spark.read.parquet(m.partitions.map(_.path): _*)
-      .withColumn(m.partCol,
-        regexp_extract(input_file_name(), java.util.regex.Pattern.quote(m.partCol) + "=([^/]+)/", 1))
+      .withColumnRenamed(shadowCol(m.partCol), m.partCol)
   }
 
   /** Keyed MERGE (upsert + delete) producing a new snapshot — the diff

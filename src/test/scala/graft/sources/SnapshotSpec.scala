@@ -33,6 +33,32 @@ class SnapshotSpec extends SparkTestBase {
     assert(reloaded == m)
   }
 
+  test("partition values with escaped chars round-trip exactly through commit/read/merge") {
+    // partitionBy escapes specials into %XX dir names; the read path must
+    // restore LOGICAL values (regression: path-regex extraction returned
+    // escaped/mis-anchored strings, silently corrupting the column and
+    // making merge rewrite partitions it also kept from the parent)
+    val base = freshBase()
+    val vals = Seq("plain", "a b", "x:y", "p%q")
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "part")
+    val m = SnapshotTable.commit(df, base, "parts", "part")
+    assert(m.partitions.map(_.key).sorted == vals.sorted, "manifest keys must be logical values")
+    val back = SnapshotTable.read(spark, base, "parts")
+    assert(back.select("part").as[String].collect().sorted.toSeq == vals.sorted)
+    assert(back.select("id", "part").as[(Long, String)].collect().toSet ==
+      vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSet)
+    // merge touching ONE special partition must keep the others untouched
+    val up = Seq((10L, "a b")).toDF("id", "part")
+    val m2 = SnapshotTable.merge(spark, base, "parts", "part", "id",
+      up, deleteKeys = Seq.empty[Long].toDF("id"), seq = 1L)
+    val keptPaths = m2.partitions.filter(_.key != "a b").map(_.path)
+    assert(keptPaths.forall(_.contains("snapshot=0")),
+      s"untouched partitions must be referenced from the parent, got $keptPaths")
+    val after = SnapshotTable.read(spark, base, "parts")
+    assert(after.count() == 5)
+    assert(after.filter(col("part") === "a b").count() == 2)
+  }
+
   test("resume after a simulated crash completes only missing partitions; result identical") {
     val base1 = freshBase(); val base2 = freshBase()
     val full = SnapshotTable.commit(docs(), base1, "documents", "lang")
@@ -61,13 +87,17 @@ class SnapshotSpec extends SparkTestBase {
     // partition dir with only HALF its rows and NO marker (task-committed
     // files of a job killed mid-flight). Pre-marker resume would have
     // trusted the torn 'de' dir and silently lost rows.
+    // (crash files carry the shadow value column exactly as commit()'s own
+    // interrupted write would have)
     val dataDir = Paths.get(base2, "documents", "data", "snapshot=0")
     docs().filter($"lang" === "en")
+      .withColumn(SnapshotTable.shadowCol("lang"), $"lang")
       .write.partitionBy("lang").parquet(dataDir.toString)
     Files.writeString(dataDir.resolve("lang=en").resolve("_GRAFT_COMMITTED"), "")
     val deIds = docs().filter($"lang" === "de").select("doc_id")
       .as[Long].collect().sorted
     docs().filter($"lang" === "de" && $"doc_id".isin(deIds.take(deIds.length / 2): _*))
+      .withColumn(SnapshotTable.shadowCol("lang"), $"lang")
       .write.mode("append").partitionBy("lang").parquet(dataDir.toString)
     assert(Files.exists(dataDir.resolve("lang=de")) &&
       !Files.exists(dataDir.resolve("lang=de").resolve("_GRAFT_COMMITTED")))

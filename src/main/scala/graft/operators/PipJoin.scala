@@ -32,14 +32,21 @@ object PipJoin {
     * levels shrinks the page-side explode from 19 ancestors to the band in
     * use (collected once; the cover table is the small side).
     */
+  // level from a cell id's trailing-zero count. Round, don't truncate:
+  // log2(2^58) evaluates to 58.000000000000004 in doubles, and truncation
+  // would misclassify coarse levels (shrinking the ancestor band and
+  // silently dropping matches). Single definition — band and join-level
+  // stats must never drift apart.
+  private val levelExpr = "cast(round(30 - log2(cellId & -cellId) / 2) as int)"
+
   def coverLevelBand(covers: DataFrame): (Int, Int) = {
-    // round, don't truncate: log2(2^58) evaluates to 58.000000000000004 in
-    // doubles, and truncation would misclassify coarse levels (shrinking
-    // the ancestor band and silently dropping matches)
     val row = covers
-      .select(expr("cast(round(30 - log2(cellId & -cellId) / 2) as int)").as("lvl"))
+      .select(expr(levelExpr).as("lvl"))
       .agg(min("lvl"), max("lvl")).head()
-    (row.getInt(0), row.getInt(1))
+    // empty cover table → empty match set; any band works, use the
+    // narrowest (one ancestor) instead of NPEing on the null aggregate
+    if (row.isNullAt(0)) (graft.cells.Coverer.MinLevel, graft.cells.Coverer.MinLevel)
+    else (row.getInt(0), row.getInt(1))
   }
 
   /** Broadcast strategy. `pages` needs (url, lon, lat); covers
@@ -50,11 +57,20 @@ object PipJoin {
   def matches(pages: DataFrame, covers: DataFrame, polygons: DataFrame,
               extraPageCols: Seq[String] = Nil): DataFrame = {
     val (minL, maxL) = coverLevelBand(covers)
-    val coversWithGeom = covers.join(polygons.select(col("relId"), col("wkb")), Seq("relId"))
+    // TWO broadcasts, geometry broadcast ONCE per relation: joining
+    // covers⋈polygons before broadcasting would replicate each polygon's
+    // WKB onto every cover cell (≤8× blob inflation of the broadcast —
+    // the budget-killer exactly where broadcast is supposed to win). A
+    // page's ancestor chain hits at most one cell of a relation's
+    // normalized-disjoint cover, so candidate multiplicity is unchanged;
+    // the exact refine rides the second join's condition.
+    val polyDim = polygons.select(col("relId").as("p_relId"), col("wkb"))
     pages
       .withColumn("cellId", explode(st_cell_ancestors(col("lon"), col("lat"), minL, maxL)))
-      .join(broadcast(coversWithGeom), Seq("cellId"))
-      .filter(st_contains_point_keyed(col("relId"), col("wkb"), col("lon"), col("lat")))
+      .join(broadcast(covers.select("relId", "layer", "cellId")), Seq("cellId"))
+      .join(broadcast(polyDim),
+        col("relId") === col("p_relId") &&
+          st_contains_point_keyed(col("relId"), col("wkb"), col("lon"), col("lat")))
       .select((Seq("url", "layer", "relId") ++ extraPageCols).map(col): _*)
   }
 
@@ -71,7 +87,10 @@ object PipJoin {
     val coverArr = covers.select("relId", "layer", "cellId")
       .as[(Long, String, Long)].collect()
     val polyMap = polygons.select("relId", "wkb").as[(Long, Array[Byte])].collect().toMap
-    val index = PipIndex.build(coverArr, polyMap)
+    // a cover row whose relation is absent from `polygons` (caller passed
+    // a filtered polygon slice) must drop like the join strategies drop
+    // it, not NoSuchElementException on the driver
+    val index = PipIndex.build(coverArr.filter(c => polyMap.contains(c._1)), polyMap)
     val bc = spark.sparkContext.broadcast(index)
     val ordinals = index.polys.zipWithIndex
       .map { case (p, i) => (i, p.relId, p.layer) }.toSeq
@@ -92,10 +111,12 @@ object PipJoin {
     * per-key build rows bounded — the 75th-percentile cover level, clamped.
     */
   def chooseJoinLevel(covers: DataFrame, maxJoinLevel: Int = 12): Int = {
-    val p75 = covers
-      .select(expr("cast(round(30 - log2(cellId & -cellId) / 2) as int)").as("lvl"))
-      .agg(expr("percentile(lvl, 0.75)")).head().getDouble(0)
-    math.max(graft.cells.Coverer.MinLevel, math.min(maxJoinLevel, math.round(p75).toInt))
+    val row = covers
+      .select(expr(levelExpr).as("lvl"))
+      .agg(expr("percentile(lvl, 0.75)")).head()
+    if (row.isNullAt(0)) graft.cells.Coverer.MinLevel // empty covers → empty join
+    else math.max(graft.cells.Coverer.MinLevel,
+      math.min(maxJoinLevel, math.round(row.getDouble(0)).toInt))
   }
 
   /** Partitioned strategy for non-broadcastable dimension sides: covers are

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkTestBase
 import graft.cells.Cell
 
@@ -78,5 +80,31 @@ class EdgeCaseSpec extends SparkTestBase {
     val m = PipJoin.matches(edgePages, covers, polys).collect()
     assert(m.exists(_.getString(0) == "p4"), "interior point must match")
     assert(!m.exists(r => r.getString(0) == "p1" || r.getString(0) == "p2"))
+  }
+
+  test("PIP strategies survive an empty cover table (zero matches, no NPE)") {
+    val polys = Ingest.polygons(spark, graft.sources.Fixtures.nodesDf(spark),
+      graft.sources.Fixtures.waysDf(spark), graft.sources.Fixtures.relationsDf(spark),
+      graft.sources.Fixtures.blacklist)
+    val covers = Ingest.cellCovers(polys).filter(col("relId") < 0) // empty
+    val pages = Seq(("p", 4.35, 50.85)).toDF("url", "lon", "lat")
+    assert(PipJoin.matches(pages, covers, polys).count() == 0)
+    assert(PipJoin.matchesPartitioned(pages, covers, polys).count() == 0)
+    assert(PipJoin.matchesIndexed(pages, covers, polys).count() == 0)
+  }
+
+  test("matchesIndexed drops cover rows whose relation is absent from polygons, like matches") {
+    val polys = Ingest.polygons(spark, graft.sources.Fixtures.nodesDf(spark),
+      graft.sources.Fixtures.waysDf(spark), graft.sources.Fixtures.relationsDf(spark),
+      graft.sources.Fixtures.blacklist).cache()
+    val covers = Ingest.cellCovers(polys) // full cover set
+    val onlyCountries = polys.filter(col("layer") === "countries")
+    val pages = Seq(("p", 4.35, 50.85)).toDF("url", "lon", "lat")
+    val viaJoin = PipJoin.matches(pages, covers, onlyCountries)
+      .select("url", "layer", "relId").collect().toSet
+    val viaIndex = PipJoin.matchesIndexed(pages, covers, onlyCountries)
+      .select("url", "layer", "relId").collect().toSet
+    assert(viaJoin == viaIndex)
+    assert(viaJoin.nonEmpty)
   }
 }

@@ -24,7 +24,10 @@ object Jts {
   def point(lon: Double, lat: Double): Point = factory.createPoint(coord(lon, lat))
 
   def ring(pts: IndexedSeq[(Double, Double)]): LinearRing = {
-    val closed = if (pts.nonEmpty && pts.head == pts.last) pts else pts :+ pts.head
+    // loud precondition (the else branch below would otherwise throw an
+    // opaque `head of empty` from pts.head on an empty sequence)
+    require(pts.nonEmpty, "ring requires at least one point")
+    val closed = if (pts.head == pts.last) pts else pts :+ pts.head
     factory.createLinearRing(closed.map { case (x, y) => coord(x, y) }.toArray)
   }
 

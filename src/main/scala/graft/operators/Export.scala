@@ -66,7 +66,17 @@ object Export {
   }
 
   case class LayerResult(layer: String, topo: TopoPipeline.Topology, slices: Seq[(Long, Int)],
-                         props: Option[DataFrame] = None)
+                         props: Option[DataFrame] = None,
+                         private[operators] val caches: Seq[DataFrame] = Nil) {
+    /** Release every cache this layer export pinned (the clipped feature
+      * table, the pre-simplify topology's and the final topology's
+      * internals). Call after the layer is written.
+      */
+    def release(): Unit = {
+      caches.foreach(_.unpersist())
+      topo.release()
+    }
+  }
 
   private def jsonEsc(s: String): String = s.flatMap {
     case '"' => "\\\""
@@ -208,12 +218,11 @@ object Export {
     val features0 = curated.select(col("relId").as("objId"), col("wkb"), col("bbox"))
 
     // P5: pre-clip simplification (simplify > 0 ∧ clipwater), no quantize
-    val preSimplified =
-      if (simplifyDigits > 0) {
-        val pre = TopoPipeline.topology(features0, simplifyDigits, 0)
-        reconstruct(pre)
-          .join(features0.select("objId", "bbox"), Seq("objId"))
-      } else features0
+    val preTopo = if (simplifyDigits > 0) Some(TopoPipeline.topology(features0, simplifyDigits, 0)) else None
+    val preSimplified = preTopo match {
+      case Some(pre) => reconstruct(pre).join(features0.select("objId", "bbox"), Seq("objId"))
+      case None => features0
+    }
 
     // P6: water clip
     val clipped = TopoPipeline.clipWater(
@@ -229,6 +238,10 @@ object Export {
       .cache()
     val topo = TopoPipeline.topology(rebboxed, simplifyDigits, quantize)
     val sl = TopoPipeline.slices(topo.objects, pointLimit)
-    LayerResult(layerId, topo, sl, props)
+    // the pre-simplify topology is fully consumed (reconstruct fed the
+    // clip, which rebboxed materializes) — its internals can go now;
+    // rebboxed itself stays until the caller release()s the LayerResult
+    preTopo.foreach(_.release())
+    LayerResult(layerId, topo, sl, props, caches = Seq(rebboxed))
   }
 }

@@ -42,7 +42,7 @@ object Ingest {
   case class ChainRow(relId: Long, pos: Int, role: String, refs: Seq[Long])
   case class Chain(relId: Long, role: String, chainIdx: Int, refs: Seq[Long])
   case class ChainCoords(relId: Long, role: String, chainIdx: Int, expected: Int,
-                                 coords: Seq[(Int, Double, Double)])
+                                 coords: Seq[(Int, Double, Double)], nChains: Long)
 
   /** Full assembly: returns `polygons(relId, adminLevel, layer, name, wkb,
     * bbox)`. Relations whose geometry fails to assemble (unclosed rings,
@@ -86,22 +86,31 @@ object Ingest {
         posexplode(col("refs")).as(Seq("refPos", "nodeId")))
     val neededNodes = nodes.join(chainRefs.select(col("nodeId").as("id")).distinct(), Seq("id"), "left_semi")
 
+    // per-relation chain count BEFORE the node join: a chain whose nodes
+    // are ALL missing produces no joined row at all, so the
+    // actual-vs-expected length guard below can never see it — the count
+    // comparison catches whole-chain loss (same storage.go:194-196 abort)
+    val chainCounts = chains.groupBy("relId").agg(count(lit(1)).as("nChains"))
+
     // G3: node-ref expansion — join coords, reassemble ordered chains
     val chainCoords = chainRefs
       .join(neededNodes.withColumnRenamed("id", "nodeId"), Seq("nodeId"))
       .groupBy("relId", "role", "chainIdx", "expected")
       .agg(sort_array(collect_list(struct(
         col("refPos").as("_1"), col("lon").as("_2"), col("lat").as("_3")))).as("coords"))
+      .join(chainCounts, Seq("relId"))
       .as[ChainCoords]
 
     // G4+G5: polygon assembly + buffer(0) per relation; any chain with a
-    // missing node (actual < expected) aborts the whole relation
-    // (storage.go:194-196 error propagates out of ToGeometry).
+    // missing node (actual < expected) — or a chain missing ENTIRELY —
+    // aborts the whole relation (storage.go:194-196 error propagates out
+    // of ToGeometry).
     val assembled = chainCoords
       .groupByKey(_.relId)
       .flatMapGroups { (relId, it) =>
         val rows = it.toSeq.sortBy(r => (r.role, r.chainIdx))
-        if (rows.exists(r => r.coords.length != r.expected)) Iterator.empty
+        if (rows.exists(r => r.coords.length != r.expected) ||
+            rows.length != rows.head.nChains) Iterator.empty
         else {
           def rings(role: String): Seq[IndexedSeq[(Double, Double)]] =
             rows.filter(_.role == role)

@@ -37,12 +37,13 @@ object Multimodal {
   }
 
   /** Decode metadata for a (url, payload binary) table — one batch pass per
-    * partition.
+    * partition. `payloadCol` names the binary column (default "html", the
+    * pages fixture's payload).
     */
-  def decodeMeta(media: DataFrame): DataFrame = {
+  def decodeMeta(media: DataFrame, payloadCol: String = "html"): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("url"), col("html").as("payload")).as[(String, Array[Byte])]
+    media.select(col("url"), col(payloadCol).as("payload")).as[(String, Array[Byte])]
       .mapPartitions(_.map { case (url, bytes) => fakeDecode(url, bytes) })
       .toDF()
   }
@@ -51,10 +52,10 @@ object Multimodal {
     * byte-histogram projection — deterministic; the schema/batch shape is
     * what a real embedding model would produce).
     */
-  def features(media: DataFrame, dim: Int = 16): DataFrame = {
+  def features(media: DataFrame, dim: Int = 16, payloadCol: String = "html"): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("url"), col("html").as("payload")).as[(String, Array[Byte])]
+    media.select(col("url"), col(payloadCol).as("payload")).as[(String, Array[Byte])]
       .mapPartitions(_.map { case (url, bytes) =>
         val v = new Array[Float](dim)
         var i = 0
@@ -71,10 +72,11 @@ object Multimodal {
     * the payload hash so the plumbing is DuckDB-oracle-checkable
     * (`q_media_frames`): real decoders replace both stubs together.
     */
-  def sampleFrames(media: DataFrame, everyMs: Long = 60000L): DataFrame = {
+  def sampleFrames(media: DataFrame, everyMs: Long = 60000L,
+                   payloadCol: String = "html"): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("url"), col("html").as("payload")).as[(String, Array[Byte])]
+    media.select(col("url"), col(payloadCol).as("payload")).as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (url, bytes) =>
         val meta = fakeDecode(url, bytes)
         if (meta.kind != "video") Iterator.empty

@@ -16,8 +16,10 @@ object Tiling {
     * verbatim with the DuckDB oracle (floor math, no engine-specific
     * functions; CAST pins BIGINT in both dialects).
     */
-  def txSql(z: Int): String = s"CAST(floor(least((lon + 180.0) / 360.0, 1.0 - 1e-12) * ${1L << z}) AS BIGINT)"
-  def tySql(z: Int): String = s"CAST(floor(least((lat + 90.0) / 180.0, 1.0 - 1e-12) * ${1L << z}) AS BIGINT)"
+  // clamp BOTH ends: out-of-range geocodes must land on the edge tile
+  // (matching st_cell_at's grid clamp), not on phantom negative indices
+  def txSql(z: Int): String = s"CAST(floor(greatest(least((lon + 180.0) / 360.0, 1.0 - 1e-12), 0.0) * ${1L << z}) AS BIGINT)"
+  def tySql(z: Int): String = s"CAST(floor(greatest(least((lat + 90.0) / 180.0, 1.0 - 1e-12), 0.0) * ${1L << z}) AS BIGINT)"
 
   /** Tile assignment: one row per page with (z, tx, ty) + the Hilbert cell
     * id and quadkey of the same tile.
@@ -66,19 +68,15 @@ object Tiling {
     polygons.select(col("relId"), col("layer"), col("wkb"))
       .as[(Long, String, Array[Byte])]
       .flatMap { case (relId, layer, wkb) =>
-        val g = Jts.fromWkb(wkb)
-        val cells = collection.mutable.LinkedHashSet[Long]()
-        var i = 0
-        while (i < g.getNumGeometries) {
-          g.getGeometryN(i) match {
-            case p: org.locationtech.jts.geom.Polygon =>
-              val ring = p.getExteriorRing.getCoordinates.map(c => (c.x, c.y)).toIndexedSeq
-              cells ++= Coverer.cover(ring, minLevel = level, maxLevel = level, maxCells = Int.MaxValue)
-            case _ =>
-          }
-          i += 1
-        }
-        cells.iterator.map(c => (relId, layer, c))
+        // EXACT cell/geometry intersection (JTS prepared test) over the
+        // whole geometry — the vertex-approximate Coverer.cover would
+        // miss cells crossed only by an edge (no vertex inside, no cell
+        // corner inside the polygon) and ignored holes/multipolygon
+        // structure, breaking the documented "complete set of
+        // intersecting cells" contract
+        Coverer.coverExact(Jts.fromWkb(wkb),
+            minLevel = level, maxLevel = level, maxCells = Int.MaxValue)
+          .iterator.map(c => (relId, layer, c))
       }
       .toDF("relId", "layer", "cellId")
   }

@@ -47,7 +47,15 @@ object TopoPipeline {
     *  - transform (scale/translate) when quantize > 0
     */
   case class Topology(arcs: DataFrame, arcsQ: Option[DataFrame], uses: DataFrame,
-                      objects: DataFrame, transform: Option[(Double, Double, Double, Double)])
+                      objects: DataFrame, transform: Option[(Double, Double, Double, Double)],
+                      private[operators] val caches: Seq[DataFrame] = Nil) {
+    /** Drop the internal caches `topology()` pinned (cut table, unique
+      * arcs, simplified arcs, objects). Call once the topology's outputs
+      * are consumed/materialized — a session exporting many layers would
+      * otherwise accumulate storage blocks it can never reach again.
+      */
+    def release(): Unit = caches.foreach(_.unpersist())
+  }
 
   /** Explode feature polygons into rings. */
   def rings(features: DataFrame): DataFrame = {
@@ -207,6 +215,11 @@ object TopoPipeline {
   def topology(features: DataFrame, simplifyDigits: Int, quantize: Double): Topology = {
     val spark = features.sparkSession
     import spark.implicits._
+    // quantize is a grid-position count (TopoJSON -q, typically 1e4-1e6);
+    // values in (0, 1] make kx = (quantize-1)/extent zero → "scale":
+    // 1/kx = Infinity in the emitted JSON, which no parser accepts
+    require(quantize <= 0 || quantize > 1,
+      s"quantize must be > 1 grid positions (or <= 0 to disable), got $quantize")
     val maxErr = if (simplifyDigits > 0) math.pow(10, -simplifyDigits) else 0.0
 
     def prof[A](n: String)(f: => A): A =
@@ -297,7 +310,8 @@ object TopoPipeline {
       }.toDF("arcId", "qpts")
     }
 
-    Topology(simplified, arcsQ, uses, objects, transform)
+    Topology(simplified, arcsQ, uses, objects, transform,
+      caches = Seq(cutDf, uniqueArcs, simplified, objects))
   }
 
   /** P7: distributed water-clip prep — ring-simplify at the export

@@ -44,6 +44,18 @@ class ExportSinkSpec extends SparkTestBase {
     }
   }
 
+  test("LayerResult.release drops caches; outputs stay recomputable") {
+    val polys = Ingest.polygons(spark, Fixtures.nodesDf(spark), Fixtures.waysDf(spark),
+      Fixtures.relationsDf(spark), Fixtures.blacklist)
+    val water = Ingest.waterPolygons(spark, Fixtures.waterDf(spark))
+    val res = Export.layer(polys, water, "regions", Seq(200L, 201L),
+      simplifyDigits = 3, quantize = 1e6, pointLimit = 15)
+    val before = res.topo.arcs.count()
+    res.release()
+    // caches are gone, lineage is intact: the same result recomputes
+    assert(res.topo.arcs.count() == before)
+  }
+
   test("writeSlices without quantization writes absolute positions, no transform") {
     import graft.geom.Jts
     def sqw(x0: Double, y0: Double, x1: Double, y1: Double) =

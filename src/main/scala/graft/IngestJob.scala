@@ -18,7 +18,9 @@ import graft.sources.{Fixtures, SnapshotTable}
   */
 object IngestJob {
   def main(args: Array[String]): Unit = {
-    val base = args.headOption.getOrElse("/tmp/graft_tables")
+    // flags are not positional args: `runMain graft.IngestJob --resume`
+    // must keep the default baseDir, not ingest into a dir named --resume
+    val base = args.filterNot(_.startsWith("--")).headOption.getOrElse("/tmp/graft_tables")
     val resume = args.contains("--resume")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -43,10 +45,32 @@ object IngestJob {
           keepFromParent = current)
       }
 
-    val covers = Ingest.cellCovers(SnapshotTable.read(spark, base, "polygons"))
-    val mCovers = SnapshotTable.commit(covers, base, "cell_covers", "layer",
-      inputs = Seq(s"polygons@snapshot=${mPolys.snapshot}"),
-      lineage = mPolys.partitions.map(p => p.key -> Seq(s"polygons/${p.key}")).toMap)
+    // skip-if-current for the covers too, at LAYER granularity: a cover
+    // layer is current when its recorded lineage still names the same
+    // polygons partition (path + row count identity — a kept polygons
+    // partition keeps its path across snapshot bumps, so a no-op polygons
+    // refresh leaves every cover layer current). Current layers are
+    // carried over AND excluded from the (expensive) cover computation
+    // itself; a fully-current refresh is a true no-op.
+    val coversLineage = mPolys.partitions
+      .map(p => p.key -> Seq(s"polygons/${p.key}@${p.path}#${p.rows}")).toMap
+    val coversCurrent = SnapshotTable.latest(base, "cell_covers")
+      .map(_.partitions.filter(p => coversLineage.get(p.key).contains(p.lineage))
+        .map(_.key).toSet)
+      .getOrElse(Set.empty)
+    val polyLayers = mPolys.partitions.map(_.key).toSet
+    val mCovers =
+      if (coversCurrent.nonEmpty && polyLayers.subsetOf(coversCurrent))
+        SnapshotTable.latest(base, "cell_covers").get // fully current
+      else {
+        val staleOnly = SnapshotTable.read(spark, base, "polygons")
+          .filter(!org.apache.spark.sql.functions.col("layer")
+            .isin(coversCurrent.toSeq: _*)) // layer count is small (curated)
+        SnapshotTable.commit(Ingest.cellCovers(staleOnly), base, "cell_covers", "layer",
+          inputs = Seq(s"polygons@snapshot=${mPolys.snapshot}"),
+          lineage = coversLineage,
+          keepFromParent = coversCurrent)
+      }
 
     println(s"""{"polygons_snapshot":${mPolys.snapshot},"polygons_rows":${mPolys.partitions.map(_.rows).sum},""" +
       s""""covers_snapshot":${mCovers.snapshot},"covers_rows":${mCovers.partitions.map(_.rows).sum}}""")

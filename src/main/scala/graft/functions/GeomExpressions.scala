@@ -31,7 +31,6 @@ object PreparedCache {
         size() > MaxEntries
     }
   private val byBytes = ThreadLocal.withInitial[java.util.LinkedHashMap[java.nio.ByteBuffer, PG]](() => lru)
-  private val byKey = ThreadLocal.withInitial[java.util.LinkedHashMap[java.lang.Long, PG]](() => lru)
 
   def get(wkb: Array[Byte]): PG = {
     val cache = byBytes.get()
@@ -66,32 +65,33 @@ object PreparedCache {
     }
   }
 
-  private def compositeKey(id: Long, wkb: Array[Byte]): Long = {
-    var k = id * 0x9e3779b97f4a7c15L + wkb.length
-    if (wkb.length >= 16) {
-      k ^= java.lang.Long.rotateLeft(wkb(8).toLong & 0xff, 8)
-      k ^= java.lang.Long.rotateLeft(wkb(wkb.length / 2).toLong & 0xff, 24)
-      k ^= java.lang.Long.rotateLeft(wkb(wkb.length - 8).toLong & 0xff, 40)
+  // FULL content hash, memoized per byte-array INSTANCE: broadcast
+  // deserialization hands each executor a stable array reference, so the
+  // identity lookup makes the per-probe cost O(1) while the cache key
+  // stays content-exact — a geometry update under the same relation id
+  // always changes the hash, so a stale prepared entry can never be
+  // served (a sampled-bytes key could alias an update that kept the
+  // length and the sampled offsets).
+  private val contentHashTl =
+    ThreadLocal.withInitial[java.util.IdentityHashMap[Array[Byte], java.lang.Long]](
+      () => new java.util.IdentityHashMap)
+
+  private def contentHash(wkb: Array[Byte]): Long = {
+    val memo = contentHashTl.get()
+    val hit = memo.get(wkb)
+    if (hit != null) hit.longValue()
+    else {
+      var h = 0xcbf29ce484222325L // FNV-1a 64
+      var i = 0
+      while (i < wkb.length) { h ^= wkb(i) & 0xff; h *= 0x100000001b3L; i += 1 }
+      if (memo.size > 4 * MaxEntries) memo.clear() // bound the memo
+      memo.put(wkb, java.lang.Long.valueOf(h))
+      h
     }
-    k
   }
 
-  /** id-keyed variant: O(1) lookup regardless of geometry size (the
-    * reference's LRU is keyed by relation id the same way,
-    * env.go:103-111). The key folds in length + sampled bytes so a
-    * geometry update under the same id can't serve a stale entry.
-    */
-  def getKeyed(id: Long, wkb: Array[Byte]): PG = {
-    val cache = byKey.get()
-    val key = java.lang.Long.valueOf(compositeKey(id, wkb))
-    val hit = cache.get(key)
-    if (hit != null) hit
-    else {
-      val prepared = Jts.prepare(Jts.fromWkb(wkb))
-      cache.put(key, prepared)
-      prepared
-    }
-  }
+  private def compositeKey(id: Long, wkb: Array[Byte]): Long =
+    id * 0x9e3779b97f4a7c15L ^ contentHash(wkb)
 
   // Static entry points for generated code (doGenCode emits a plain
   // static call — keeps the PIP refine inside whole-stage codegen, no
@@ -450,14 +450,14 @@ object GeomExpressions {
   val registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "st_point" -> (es => STPoint(es(0), es(1))),
     "st_contains_point" -> (es => STContainsPoint(es(0), es(1), es(2))),
-    "st_contains_point_keyed" -> (es => STContainsPointKeyed(es)),
+    "st_contains_point_keyed" -> (es => { requireArity("st_contains_point_keyed", es.length, 4); STContainsPointKeyed(es) }),
     "st_intersects" -> (es => STIntersects(es(0), es(1))),
     "st_difference" -> (es => STDifference(es(0), es(1))),
     "st_buffer0" -> (es => STBuffer0(es(0))),
     "st_area" -> (es => STArea(es(0))),
     "st_envelope" -> (es => STEnvelope(es(0))),
     "st_cell_at" -> (es => STCellAt(es(0), es(1), es(2))),
-    "st_cell_ancestors" -> (es => STCellAncestors(es)),
+    "st_cell_ancestors" -> (es => { requireArity("st_cell_ancestors", es.length, 4); STCellAncestors(es) }),
     "st_cell_cover" -> (es => STCellCover(es(0))),
     "st_cell_cover_join" -> (es => es.length match {
       // strict arity: 1 (full band) or 3 (explicit band). Accepting 2 and
@@ -469,7 +469,14 @@ object GeomExpressions {
         s"st_cell_cover_join takes 1 (wkb) or 3 (wkb, minLevel, maxLevel) arguments, got $n")
     }),
     "st_simplify_vw" -> (es => STSimplifyVW(es(0), es(1))),
-    "st_geo_distance" -> (es => STGeoDistance(es)))
+    "st_geo_distance" -> (es => { requireArity("st_geo_distance", es.length, 4); STGeoDistance(es) }))
+
+  // Seq-children expressions pass ExpectsInputTypes' zip-based check at
+  // any arity (zip truncates) and would only crash later with an opaque
+  // MatchError inside doGenCode — check arity at analysis time instead
+  private def requireArity(name: String, got: Int, want: Int): Unit =
+    if (got != want)
+      throw new IllegalArgumentException(s"$name takes $want arguments, got $got")
 
   /** Register SQL-callable versions (used by tests and spark.sql parity). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -25,19 +25,28 @@ object Fixtures {
 
   // ---- pages ------------------------------------------------------------
 
-  /** (lonSql, latSql): the geocode, identical in Spark SQL and DuckDB. */
+  /** (lonSql, latSql): the geocode, identical in Spark SQL and DuckDB.
+    *
+    * Overflow-safe to doc_id ≈ 9.2e18: the big scatter multipliers are
+    * pre-reduced mod the range ((a·d) mod m == ((a mod m)·(d mod m)) mod
+    * m, and (m-1)·(a mod m) < 2^63), so neither engine can hit int64
+    * wraparound (Spark ANSI) / overflow errors (DuckDB) at large scale
+    * factors. Values are bit-identical to the unreduced form:
+    * 1099511628211 ≡ 71628211 (mod 36e7), 2654435761 ≡ 134435761
+    * (mod 18e7).
+    */
   val latSql: String =
     """CASE WHEN doc_id % 10 < 6 THEN
       |  (CASE doc_id % 5 WHEN 0 THEN 50850000 WHEN 1 THEN 48850000 WHEN 2 THEN 40700000
       |        WHEN 3 THEN 35700000 ELSE -33900000 END
       |   + ((doc_id * 7919) % 1000000) - 500000) / 1e6
-      |ELSE ((doc_id * 2654435761) % 180000000) / 1e6 - 90.0 END""".stripMargin
+      |ELSE (((doc_id % 180000000) * 134435761) % 180000000) / 1e6 - 90.0 END""".stripMargin
   val lonSql: String =
     """CASE WHEN doc_id % 10 < 6 THEN
       |  (CASE doc_id % 5 WHEN 0 THEN 4350000 WHEN 1 THEN 2350000 WHEN 2 THEN -74000000
       |        WHEN 3 THEN 139700000 ELSE 151200000 END
       |   + ((doc_id * 104729) % 1000000) - 500000) / 1e6
-      |ELSE ((doc_id * 1099511628211) % 360000000) / 1e6 - 180.0 END""".stripMargin
+      |ELSE (((doc_id % 360000000) * 71628211) % 360000000) / 1e6 - 180.0 END""".stripMargin
 
   /** The same pages derivation as a SQL CTE body for the DuckDB oracle. */
   def pagesCte: String =

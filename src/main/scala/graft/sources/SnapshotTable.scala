@@ -61,14 +61,18 @@ object SnapshotTable {
 
   /** Minimal JSON field extraction (manifests are engine-written, flat). */
   private def parseManifest(json: String): Manifest = {
+    // inverse of q()'s escaping — keys/paths containing " or \ must
+    // round-trip exactly (merge compares manifest keys to column values)
+    def unesc(v: String): String =
+      "\\\\(.)".r.replaceAllIn(v, m => scala.util.matching.Regex.quoteReplacement(m.group(1)))
     def longOf(name: String): Long =
       s""""$name":(-?\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong).get
     def strList(arr: String): Seq[String] =
-      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(arr).map(_.group(1)).toSeq
+      "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(arr).map(m => unesc(m.group(1))).toSeq
     val partsJson = json.substring(json.indexOf("\"partitions\":") + 13)
     val parts = "\\{[^{}]*\\}".r.findAllIn(partsJson).toSeq.map { pj =>
       def f(n: String) = s""""$n":(-?\\d+)""".r.findFirstMatchIn(pj).map(_.group(1).toLong).get
-      def s(n: String) = (s""""$n":"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(pj).map(_.group(1)).get
+      def s(n: String) = (s""""$n":"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(pj).map(m => unesc(m.group(1))).get
       val lineage = pj.indexOf("\"lineage\":[") match {
         case -1 => Nil
         case i => strList(pj.substring(i + 11, pj.indexOf("]", i)))
@@ -80,7 +84,7 @@ object SnapshotTable {
       case i => strList(json.substring(i + 10, json.indexOf("]", i)))
     }
     def strField(name: String): String =
-      (s""""$name":"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(json).map(_.group(1)).get
+      (s""""$name":"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(json).map(m => unesc(m.group(1))).get
     Manifest(strField("table"), strField("partCol"),
       longOf("snapshot"), longOf("parent"), longOf("seq"), inputsArr, parts)
   }
@@ -91,8 +95,11 @@ object SnapshotTable {
     val dir = manifestDir(base, table)
     if (!Files.exists(dir)) None
     else {
-      val files = Files.list(dir).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("snapshot-")).toSeq
+      val listing = Files.list(dir)
+      val files =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("snapshot-")).toSeq
+        finally listing.close()
       if (files.isEmpty) None
       else {
         val newest = files.maxBy(p =>
@@ -102,8 +109,11 @@ object SnapshotTable {
     }
   }
 
-  private def dirBytes(p: Path): Long =
-    Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+  private def dirBytes(p: Path): Long = {
+    val walk = Files.walk(p)
+    try walk.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+    finally walk.close()
+  }
 
   /** Per-partition completion marker (underscore-prefixed → invisible to
     * parquet readers, like _SUCCESS). Written only after the write job for
@@ -117,9 +127,13 @@ object SnapshotTable {
 
   private def partitionDirs(dataDir: Path, partCol: String): Seq[Path] =
     if (!Files.exists(dataDir)) Nil
-    else Files.list(dataDir).iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$partCol="))
-      .toSeq
+    else {
+      val listing = Files.list(dataDir)
+      try listing.iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$partCol="))
+        .toSeq
+      finally listing.close()
+    }
 
   private def writeMarkers(dataDir: Path, partCol: String): Unit =
     partitionDirs(dataDir, partCol).foreach { p =>
@@ -127,9 +141,26 @@ object SnapshotTable {
       if (!Files.exists(m)) Files.writeString(m, "")
     }
 
-  private def deleteRecursively(p: Path): Unit =
-    Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+  private def deleteRecursively(p: Path): Unit = {
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
       .iterator().asScala.foreach(Files.delete)
+    finally walk.close()
+  }
+
+  /** Drop rows whose partition value is in `keys` — a broadcast anti-join,
+    * not an `isin` literal: a 10^4-partition snapshot would otherwise bake
+    * 10^4 literals into the plan (the hybrid-join rule: sets that scale
+    * with data never become expression trees).
+    */
+  private def exceptPartitions(df: DataFrame, partCol: String, keys: Set[String]): DataFrame =
+    if (keys.isEmpty) df
+    else {
+      val spark = df.sparkSession
+      val keysDf = spark.createDataset(keys.toSeq)(org.apache.spark.sql.Encoders.STRING)
+        .toDF("__keep_key")
+      df.join(broadcast(keysDf), col(partCol).cast("string") === col("__keep_key"), "left_anti")
+    }
 
   /** Write df partitioned by `partCol` into a new snapshot. Partition keys
     * listed in `keepFromParent` are carried over from the parent manifest
@@ -143,8 +174,7 @@ object SnapshotTable {
     val dataDir = Paths.get(base, table, "data", s"snapshot=$snapId")
 
     val kept = parent.toSeq.flatMap(_.partitions).filter(p => keepFromParent(p.key))
-    val toWrite = if (keepFromParent.isEmpty) df
-      else df.filter(!col(partCol).isin(keepFromParent.toSeq: _*))
+    val toWrite = exceptPartitions(df, partCol, keepFromParent)
 
     toWrite.withColumn(shadowCol(partCol), col(partCol))
       .write.mode(SaveMode.Overwrite).partitionBy(partCol)
@@ -193,13 +223,22 @@ object SnapshotTable {
     val parent = latest(base, table)
     val snapId = parent.map(_.snapshot + 1).getOrElse(0L)
     val dataDir = Paths.get(base, table, "data", s"snapshot=$snapId")
+    // nothing to resume: no interrupted snapshot dir exists past the
+    // latest manifest — the previous commit COMPLETED, so return it
+    // unchanged instead of recomputing every partition into a brand-new
+    // snapshot (a crash strictly before the first partition file leaves
+    // no dir either; rerun without --resume for a fresh commit then)
+    parent match {
+      case Some(m) if !Files.exists(dataDir) => return m
+      case _ =>
+    }
     val (complete, torn) = partitionDirs(dataDir, partCol)
       .partition(p => Files.exists(p.resolve(Marker)))
     torn.foreach(deleteRecursively)
     val existing: Set[String] =
       complete.map(p => unescapeDir(p.getFileName.toString.stripPrefix(s"$partCol="))).toSet
 
-    val missing = df.filter(!col(partCol).isin(existing.toSeq: _*))
+    val missing = exceptPartitions(df, partCol, existing)
     missing.withColumn(shadowCol(partCol), col(partCol))
       .write.mode(SaveMode.Append).partitionBy(partCol).parquet(dataDir.toString)
     writeMarkers(dataDir, partCol)

@@ -79,6 +79,14 @@ class SnapshotSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("resume after a COMPLETED commit is a no-op (no new snapshot, nothing recomputed)") {
+    val base = freshBase()
+    val m = SnapshotTable.commit(docs(), base, "documents", "lang")
+    val resumed = SnapshotTable.resume(docs(), base, "documents", "lang")
+    assert(resumed == m, "resume with nothing interrupted must return the completed manifest")
+    assert(SnapshotTable.latest(base, "documents").get.snapshot == m.snapshot)
+  }
+
   test("resume recomputes torn partitions (dir present, no completion marker)") {
     val base1 = freshBase(); val base2 = freshBase()
     val full = SnapshotTable.commit(docs(), base1, "documents", "lang")

@@ -31,7 +31,10 @@ object Bench {
   def pagesTable(spark: SparkSession, sfDir: String, replicate: Int): String = {
     val sfTag = sfDir.replaceAll("[^a-z0-9.]", "_")
     val path = s"/tmp/graft_bench/pages_${sfTag}_rep$replicate"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+    // gate on the committer's _SUCCESS, not dir existence: a killed prior
+    // run leaves a partial directory that would silently benchmark a
+    // truncated table
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
       sources.Fixtures.pages(spark, sfDir, replicate)
         .select("url", "lang", "lon", "lat")
         .repartition(64)
@@ -59,6 +62,9 @@ object Bench {
       matches.select(col("url"), col("lang"), col("lon"), col("lat")), 10)
     tiled.count()
     val secs = (System.nanoTime() - t0) / 1e9
+    // headline runs 2-3 times per session (warm + measured passes): drop
+    // this call's dimension caches so repeated passes don't stack blocks
+    polys.unpersist(); covers.unpersist()
     (nPages, secs)
   }
 
@@ -83,21 +89,21 @@ object Bench {
     val (nPages, headlineSecs) = headline(spark, sfDir, replicate)
     val pagesPerSec = nPages / headlineSecs
 
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
+    // JSON numbers must be locale-independent (a comma-decimal default
+    // locale would break the driver's json parse)
+    def num(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, java.lang.Double.valueOf(v))
+    def jstr(s: String): String = JsonUtil.quote(s)
     val qs = (results :+ QStat("headline_pip_tiling", headlineSecs, nPages, None))
       .map { q =>
         val err = q.error.map(jstr).getOrElse("null")
-        s"""${jstr(q.name)}:{"secs":${f"${q.secs}%.3f"},"rows":${q.rows},"error":$err}"""
+        s"""${jstr(q.name)}:{"secs":${num("%.3f", q.secs)},"rows":${q.rows},"error":$err}"""
       }.mkString("{", ",", "}")
     val nErrors = results.count(_.error.isDefined)
     val total = results.map(_.secs).sum + headlineSecs
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
+    println(s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","queries":$qs,""" +
       s""""query_errors":$nErrors,""" +
-      s""""headline_pages":$nPages,"headline_pages_per_sec":${f"$pagesPerSec%.1f"},"sf":"$sfDir"}""")
+      s""""headline_pages":$nPages,"headline_pages_per_sec":${num("%.1f", pagesPerSec)},"sf":"$sfDir"}""")
     if (nErrors > 0)
       System.err.println(s"[bench] $nErrors queries FAILED: " +
         results.filter(_.error.isDefined).map(q => s"${q.name}: ${q.error.get}").mkString("; "))

@@ -39,9 +39,11 @@ object ScalingBench {
     val t1 = n1 / s1
     val t2 = n2 / s2
     val eff = (t2 / t1) / (high.toDouble / low.toDouble)
-    println(s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio",""" +
+    def num(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, java.lang.Double.valueOf(v))
+    println(s"""{"metric":"scaling_efficiency","value":${num("%.3f", eff)},"unit":"ratio",""" +
       s""""pages":$n1,"low_cpus":$low,"high_cpus":$high,"trials":$trials,""" +
-      s""""low_pages_per_sec":${f"$t1%.1f"},"high_pages_per_sec":${f"$t2%.1f"},""" +
-      s""""low_sec":${f"$s1%.3f"},"high_sec":${f"$s2%.3f"},"sf":"$sfDir"}""")
+      s""""low_pages_per_sec":${num("%.1f", t1)},"high_pages_per_sec":${num("%.1f", t2)},""" +
+      s""""low_sec":${num("%.3f", s1)},"high_sec":${num("%.3f", s2)},"sf":"$sfDir"}""")
   }
 }

@@ -45,8 +45,12 @@ object SparkEntry {
 
   // ---- DuckDB PIP oracle: independent containment from input-level rings --
 
-  /** 6-decimal fixture-grid doubles round-trip exactly through %.6f. */
-  private def fmt6(d: Double): String = f"$d%.6f"
+  /** 6-decimal fixture-grid doubles round-trip exactly through %.6f.
+    * Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    * comma-decimal locale would corrupt every generated oracle VALUES row.
+    */
+  private def fmt6(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.6f", java.lang.Double.valueOf(d))
 
   /** Edge VALUES rows for every cover-indexed fixture ring, CCW-normalized
     * with zero-length edges dropped (the dup-point ring), so that for a
@@ -72,12 +76,18 @@ object SparkEntry {
       val closed = ccw :+ ccw.head
       closed.sliding(2).collect { case Seq(a, b) if a != b => (a, b) }.toSeq
     }
+    // `ring` numbers each ring within its relation (outer = 0, holes
+    // 1..n): the containment test must evaluate EACH hole's min-cross
+    // individually — pooling all holes' edges into one min would let a
+    // point inside hole A pass because hole B's edges go negative
     dims.flatMap { case (layer, relId, _, _, outer, holes) =>
       edges(outer).map { case ((x1, y1), (x2, y2)) =>
-        s"('$layer', $relId, 'outer', ${fmt6(x1)}, ${fmt6(y1)}, ${fmt6(x2)}, ${fmt6(y2)})"
-      } ++ holes.flatMap(h => edges(h).map { case ((x1, y1), (x2, y2)) =>
-        s"('$layer', $relId, 'hole', ${fmt6(x1)}, ${fmt6(y1)}, ${fmt6(x2)}, ${fmt6(y2)})"
-      })
+        s"('$layer', $relId, 'outer', 0, ${fmt6(x1)}, ${fmt6(y1)}, ${fmt6(x2)}, ${fmt6(y2)})"
+      } ++ holes.zipWithIndex.flatMap { case (h, hi) =>
+        edges(h).map { case ((x1, y1), (x2, y2)) =>
+          s"('$layer', $relId, 'hole', ${hi + 1}, ${fmt6(x1)}, ${fmt6(y1)}, ${fmt6(x2)}, ${fmt6(y2)})"
+        }
+      }
     }.mkString(",\n    ")
   }
 
@@ -96,23 +106,23 @@ object SparkEntry {
 
   private def pipCtes(edgeVals: String): String =
     s"""WITH pages AS (${Fixtures.pagesCte}),
-       |edges AS (SELECT layer, CAST(rel_id AS BIGINT) AS rel_id, role,
+       |edges AS (SELECT layer, CAST(rel_id AS BIGINT) AS rel_id, role, ring,
        |                 CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1,
        |                 CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2
        |          FROM (VALUES
        |    $edgeVals
-       |  ) AS t(layer, rel_id, role, x1, y1, x2, y2)),
+       |  ) AS t(layer, rel_id, role, ring, x1, y1, x2, y2)),
        |side AS (
-       |  SELECT p.doc_id, p.url, e.layer, e.rel_id, e.role,
+       |  SELECT p.doc_id, p.url, e.layer, e.rel_id, e.role, e.ring,
        |         min((e.x2 - e.x1) * (p.lat - e.y1) - (e.y2 - e.y1) * (p.lon - e.x1)) AS mc
        |  FROM pages p JOIN edges e ON TRUE
-       |  GROUP BY 1, 2, 3, 4, 5),
+       |  GROUP BY 1, 2, 3, 4, 5, 6),
        |contained AS (
        |  SELECT doc_id, url, layer, rel_id
        |  FROM side
        |  GROUP BY doc_id, url, layer, rel_id
        |  HAVING max(CASE WHEN role = 'outer' THEN mc END) > 0
-       |     AND coalesce(max(CASE WHEN role = 'hole' THEN mc END) < 0, TRUE))""".stripMargin
+       |     AND coalesce(bool_and(CASE WHEN role = 'hole' THEN mc < 0 END), TRUE))""".stripMargin
 
   /** pipOracleCtes over sqlOracleDims (triangle included) — the oracle for
     * the pure-geometry SQL join path.
@@ -368,10 +378,22 @@ object SparkEntry {
   // are identical across queries in one session — memoize + cache so each
   // Verify/Bench query pays the assembly once (the reference's geometry /
   // topology LRUs, env.go:103-111, at session granularity).
+  // NOTE on WeakHashMap: a DataFrame value strongly references its
+  // SparkSession (the key), so weak-key eviction alone can never fire —
+  // evictOthers() below caps growth by dropping every OTHER session's
+  // entry when a new session appears (losing only memoization; the
+  // normal one-session-per-JVM deployment never evicts).
   private val dimsCache = new java.util.WeakHashMap[SparkSession, (DataFrame, DataFrame)]()
   private val clustersCache = new java.util.WeakHashMap[SparkSession, (String, DataFrame)]()
   private val pairsCache = new java.util.WeakHashMap[SparkSession, (String, DataFrame)]()
   private val topoCache = new java.util.WeakHashMap[SparkSession, Export.LayerResult]()
+
+  private def evictOthers[V](m: java.util.WeakHashMap[SparkSession, V],
+                             current: SparkSession): Unit =
+    if (m.size > 3) {
+      val it = m.keySet().iterator()
+      while (it.hasNext) if (it.next() ne current) it.remove()
+    }
 
   private def dims(spark: SparkSession): (DataFrame, DataFrame) = dimsCache.synchronized {
     var v = dimsCache.get(spark)
@@ -380,6 +402,7 @@ object SparkEntry {
         Fixtures.relationsDf(spark), Fixtures.blacklist).cache()
       val covers = Ingest.cellCovers(polys).cache()
       v = (polys, covers)
+      evictOthers(dimsCache, spark)
       dimsCache.put(spark, v)
     }
     v
@@ -396,6 +419,7 @@ object SparkEntry {
       v = v.copy(topo = v.topo.copy(arcs = v.topo.arcs.cache(),
         arcsQ = v.topo.arcsQ.map(_.cache()), uses = v.topo.uses.cache(),
         objects = v.topo.objects.cache()))
+      evictOthers(topoCache, spark)
       topoCache.put(spark, v)
     }
     v
@@ -413,6 +437,7 @@ object SparkEntry {
       else {
         if (hit != null) hit._2.unpersist() // don't strand blocks on sfDir change
         val p = Clusters.jaccardPairs(Fixtures.documents(spark, sfDir), 0.3).cache()
+        evictOthers(pairsCache, spark)
         pairsCache.put(spark, (sfDir, p))
         p
       }
@@ -426,6 +451,7 @@ object SparkEntry {
         if (hit != null) hit._2.unpersist() // don't strand blocks on sfDir change
         val c = Clusters.labelClusters(
           Fixtures.documents(spark, sfDir), jacPairs(spark, sfDir)).cache()
+        evictOthers(clustersCache, spark)
         clustersCache.put(spark, (sfDir, c))
         c
       }
@@ -920,7 +946,7 @@ object SparkEntry {
        |                 CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2
        |          FROM (VALUES
        |    ${edgeValues(sqlOracleDims)}
-       |  ) AS t(layer, rel_id, role, x1, y1, x2, y2)),
+       |  ) AS t(layer, rel_id, role, ring, x1, y1, x2, y2)),
        |meta AS (SELECT layer, CAST(rel_id AS BIGINT) AS rel_id, admin_level, name FROM (VALUES
        |    $metaVals
        |  ) AS t(layer, rel_id, admin_level, name)),

@@ -78,12 +78,7 @@ object Export {
     }
   }
 
-  private def jsonEsc(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
+  private def jsonEsc(s: String): String = graft.JsonUtil.esc(s)
 
   /** S10: the TopoJSON file sink — one `NNNN.topojson` per slice
     * (export.go:101-114). Arc indices follow the TopoJSON convention:

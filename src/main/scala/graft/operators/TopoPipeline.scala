@@ -66,11 +66,16 @@ object TopoPipeline {
         val g = Jts.fromWkb(wkb)
         (0 until g.getNumGeometries).iterator.flatMap { pi =>
           g.getGeometryN(pi) match {
-            case p: org.locationtech.jts.geom.Polygon =>
+            // skip empty polygons (water clipping can erase a feature
+            // entirely — an empty exterior ring would crash the cut) and
+            // degenerate rings (< 3 distinct points carry no area)
+            case p: org.locationtech.jts.geom.Polygon if !p.isEmpty =>
               val shell = p.getExteriorRing.getCoordinates.map(c => (c.x, c.y)).toSeq
               val holes = (0 until p.getNumInteriorRing).map(h =>
                 p.getInteriorRingN(h).getCoordinates.map(c => (c.x, c.y)).toSeq)
-              (shell +: holes).zipWithIndex.map { case (r, ri) => RingRow(objId, pi, ri, r) }
+              (shell +: holes).zipWithIndex.collect {
+                case (r, ri) if r.length >= 4 => RingRow(objId, pi, ri, r)
+              }
             case _ => Nil
           }
         }
@@ -283,15 +288,20 @@ object TopoPipeline {
       .cache()
 
     // quantization: global transform over simplified arcs (PostQuantize)
-    val transform =
+    val transform: Option[(Double, Double, Double, Double)] =
       if (quantize <= 0) None
       else {
         val ext = prof("transform.extent")(simplified.select(explode(col("pts")).as("p"))
           .agg(min("p._1"), max("p._1"), min("p._2"), max("p._2")).head())
-        val (x0, x1, y0, y1) = (ext.getDouble(0), ext.getDouble(1), ext.getDouble(2), ext.getDouble(3))
-        val kx = if (x1 > x0) (quantize - 1) / (x1 - x0) else 1.0
-        val ky = if (y1 > y0) (quantize - 1) / (y1 - y0) else 1.0
-        Some((kx, ky, x0, y0))
+        // empty feature input → null extent; identity transform (there
+        // are no arcs to quantize) beats an opaque null-primitive throw
+        if (ext.isNullAt(0)) Some((1.0, 1.0, 0.0, 0.0))
+        else {
+          val (x0, x1, y0, y1) = (ext.getDouble(0), ext.getDouble(1), ext.getDouble(2), ext.getDouble(3))
+          val kx = if (x1 > x0) (quantize - 1) / (x1 - x0) else 1.0
+          val ky = if (y1 > y0) (quantize - 1) / (y1 - y0) else 1.0
+          Some((kx, ky, x0, y0))
+        }
       }
 
     val arcsQ = transform.map { case (kx, ky, x0, y0) =>
@@ -490,6 +500,9 @@ object TopoPipeline {
     * construction). Returns (objId, slice).
     */
   def slices(objects: DataFrame, pointLimit: Int): Seq[(Long, Int)] = {
+    // pointLimit <= 0 would spin the outer loop forever (the inner fill
+    // loop never removes a center)
+    require(pointLimit > 0, s"pointLimit must be positive, got $pointLimit")
     val spark = objects.sparkSession
     import spark.implicits._
     val objs = objects.select(col("objId"), col("minx"), col("miny"),

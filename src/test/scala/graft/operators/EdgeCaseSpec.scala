@@ -82,6 +82,21 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(!m.exists(r => r.getString(0) == "p1" || r.getString(0) == "p2"))
   }
 
+  test("tile assignment clamps out-of-range geocodes to edge tiles (no negative indices)") {
+    val pages = Seq(
+      ("in", 4.35, 50.85),
+      ("lowlat", 0.0, -90.5), ("highlat", 0.0, 90.5),
+      ("lowlon", -180.5, 0.0), ("highlon", 180.5, 0.0)
+    ).toDF("url", "lon", "lat")
+    val t = Tiling.assign(pages, 10).select("url", "tx", "ty").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    t.values.foreach { case (tx, ty) =>
+      assert(tx >= 0 && tx < 1024 && ty >= 0 && ty < 1024, s"tile out of grid: $t")
+    }
+    assert(t("lowlat")._2 == 0 && t("highlat")._2 == 1023)
+    assert(t("lowlon")._1 == 0 && t("highlon")._1 == 1023)
+  }
+
   test("PIP strategies survive an empty cover table (zero matches, no NPE)") {
     val polys = Ingest.polygons(spark, graft.sources.Fixtures.nodesDf(spark),
       graft.sources.Fixtures.waysDf(spark), graft.sources.Fixtures.relationsDf(spark),

@@ -191,6 +191,18 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("variadic ST functions reject wrong arity loudly at analysis time") {
+    graft.functions.GeomExpressions.register(spark)
+    Seq(
+      "SELECT st_cell_ancestors(1.0, 2.0, 0)",      // 3 of 4
+      "SELECT st_cell_cover_join(x'00', 5)",        // 2 (1 or 3 allowed)
+      "SELECT st_geo_distance(1.0, 2.0, 3.0)"       // 3 of 4
+    ).foreach { sql =>
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage.contains("arguments"), s"$sql: ${e.getMessage}")
+    }
+  }
+
   test("PipJoinRewrite leaves equi-key joins alone") {
     Graft.install(spark)
     val df = spark.sql(

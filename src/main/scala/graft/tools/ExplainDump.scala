@@ -18,6 +18,15 @@ object ExplainDump {
     graft.operators.Similarity.embeddingDedupExact(
       spark.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") < 1000), 0.4)
       .explain("formatted")
+    println("==== PIP broadcast join (matches, post-reshape) ====")
+    locally {
+      val polys = graft.operators.Ingest.polygons(spark,
+        graft.sources.Fixtures.nodesDf(spark), graft.sources.Fixtures.waysDf(spark),
+        graft.sources.Fixtures.relationsDf(spark), graft.sources.Fixtures.blacklist).cache()
+      val covers = graft.operators.Ingest.cellCovers(polys).cache()
+      graft.operators.PipJoin.matches(
+        graft.sources.Fixtures.pages(spark, dir), covers, polys).explain("formatted")
+    }
     println("==== jaccardPairs candidate stage ====")
     graft.operators.Clusters.jaccardPairs(
       graft.sources.Fixtures.documents(spark, dir), 0.3).explain("formatted")

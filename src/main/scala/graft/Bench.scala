@@ -99,10 +99,7 @@ object Bench {
     val (nPages, headlineSecs) = headline(spark, sfDir, replicate)
     val pagesPerSec = nPages / headlineSecs
 
-    // JSON numbers must be locale-independent (a comma-decimal default
-    // locale would break the driver's json parse)
-    def num(fmt: String, v: Double): String =
-      String.format(java.util.Locale.ROOT, fmt, java.lang.Double.valueOf(v))
+    def num(fmt: String, v: Double): String = JsonUtil.num(fmt, v)
     def jstr(s: String): String = JsonUtil.quote(s)
     val qs = (results :+ QStat("headline_pip_tiling", headlineSecs, nPages, None))
       .map { q =>

@@ -17,4 +17,11 @@ object JsonUtil {
   }
 
   def quote(s: String): String = "\"" + esc(s) + "\""
+
+  /** Locale-independent fixed-decimal number rendering for JSON output
+    * (the f-interpolator uses the JVM default locale; a comma-decimal
+    * locale would emit invalid JSON).
+    */
+  def num(fmt: String, v: Double): String =
+    String.format(java.util.Locale.ROOT, fmt, java.lang.Double.valueOf(v))
 }

@@ -39,8 +39,7 @@ object ScalingBench {
     val t1 = n1 / s1
     val t2 = n2 / s2
     val eff = (t2 / t1) / (high.toDouble / low.toDouble)
-    def num(fmt: String, v: Double): String =
-      String.format(java.util.Locale.ROOT, fmt, java.lang.Double.valueOf(v))
+    def num(fmt: String, v: Double): String = JsonUtil.num(fmt, v)
     println(s"""{"metric":"scaling_efficiency","value":${num("%.3f", eff)},"unit":"ratio",""" +
       s""""pages":$n1,"low_cpus":$low,"high_cpus":$high,"trials":$trials,""" +
       s""""low_pages_per_sec":${num("%.1f", t1)},"high_pages_per_sec":${num("%.1f", t2)},""" +

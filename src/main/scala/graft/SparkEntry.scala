@@ -389,10 +389,19 @@ object SparkEntry {
   private val topoCache = new java.util.WeakHashMap[SparkSession, Export.LayerResult]()
 
   private def evictOthers[V](m: java.util.WeakHashMap[SparkSession, V],
-                             current: SparkSession): Unit =
+                             current: SparkSession)(release: V => Unit): Unit =
     if (m.size > 3) {
-      val it = m.keySet().iterator()
-      while (it.hasNext) if (it.next() ne current) it.remove()
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey ne current) {
+          // unpersist before dropping the entry — an evicted entry's
+          // cached blocks would otherwise be unreachable yet still pinned
+          // in its (possibly live) session's storage
+          try release(e.getValue) catch { case _: Exception => () }
+          it.remove()
+        }
+      }
     }
 
   private def dims(spark: SparkSession): (DataFrame, DataFrame) = dimsCache.synchronized {
@@ -402,7 +411,7 @@ object SparkEntry {
         Fixtures.relationsDf(spark), Fixtures.blacklist).cache()
       val covers = Ingest.cellCovers(polys).cache()
       v = (polys, covers)
-      evictOthers(dimsCache, spark)
+      evictOthers(dimsCache, spark) { case (a, b) => a.unpersist(); b.unpersist() }
       dimsCache.put(spark, v)
     }
     v
@@ -419,7 +428,10 @@ object SparkEntry {
       v = v.copy(topo = v.topo.copy(arcs = v.topo.arcs.cache(),
         arcsQ = v.topo.arcsQ.map(_.cache()), uses = v.topo.uses.cache(),
         objects = v.topo.objects.cache()))
-      evictOthers(topoCache, spark)
+      evictOthers(topoCache, spark) { lr =>
+        lr.release() // rebboxed + topology internals (incl. arcs/objects)
+        lr.topo.uses.unpersist(); lr.topo.arcsQ.foreach(_.unpersist())
+      }
       topoCache.put(spark, v)
     }
     v
@@ -437,7 +449,7 @@ object SparkEntry {
       else {
         if (hit != null) hit._2.unpersist() // don't strand blocks on sfDir change
         val p = Clusters.jaccardPairs(Fixtures.documents(spark, sfDir), 0.3).cache()
-        evictOthers(pairsCache, spark)
+        evictOthers(pairsCache, spark) { case (_, df) => df.unpersist() }
         pairsCache.put(spark, (sfDir, p))
         p
       }
@@ -451,7 +463,7 @@ object SparkEntry {
         if (hit != null) hit._2.unpersist() // don't strand blocks on sfDir change
         val c = Clusters.labelClusters(
           Fixtures.documents(spark, sfDir), jacPairs(spark, sfDir)).cache()
-        evictOthers(clustersCache, spark)
+        evictOthers(clustersCache, spark) { case (_, df) => df.unpersist() }
         clustersCache.put(spark, (sfDir, c))
         c
       }
@@ -539,13 +551,19 @@ object SparkEntry {
         val (polys, covers) = dims(s)
         val pages = Fixtures.pages(s, dir)
         // m feeds both the missing anti-join and the rules filter — cache
-        // so the PIP join over the full page table runs once, not twice
+        // so the PIP join over the full page table runs once, not twice;
+        // the eager checkpoint below lets the cache be RELEASED before
+        // returning (repeated invocations were stacking one cached match
+        // table each)
         val m = PipJoin.matches(pages, covers, polys).cache()
         val miss = PipJoin.missing(pages, m, Seq("countries", "regions", "cities"))
-        PipJoin.suggestions(miss, covers, polys, m,
+        val out = PipJoin.suggestions(miss, covers, polys, m,
           Seq(PipJoin.MatchRule("countries", 100L, "cities", Seq(6))))
           .select(col("url"), col("layer"), col("relId").as("rel_id"),
             col("adminLevel").as("admin_level"), col("name"))
+          .localCheckpoint()
+        m.unpersist()
+        out
       }),
       // S5/G7: water shapefile pipeline
       "q_water" -> ((s, _) =>

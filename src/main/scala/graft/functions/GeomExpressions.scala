@@ -65,33 +65,25 @@ object PreparedCache {
     }
   }
 
-  // FULL content hash, memoized per byte-array INSTANCE: broadcast
-  // deserialization hands each executor a stable array reference, so the
-  // identity lookup makes the per-probe cost O(1) while the cache key
-  // stays content-exact — a geometry update under the same relation id
-  // always changes the hash, so a stale prepared entry can never be
-  // served (a sampled-bytes key could alias an update that kept the
-  // length and the sampled offsets).
-  private val contentHashTl =
-    ThreadLocal.withInitial[java.util.IdentityHashMap[Array[Byte], java.lang.Long]](
-      () => new java.util.IdentityHashMap)
-
-  private def contentHash(wkb: Array[Byte]): Long = {
-    val memo = contentHashTl.get()
-    val hit = memo.get(wkb)
-    if (hit != null) hit.longValue()
-    else {
-      var h = 0xcbf29ce484222325L // FNV-1a 64
+  // Staleness fingerprint: length + up to 64 bytes strided across the
+  // WHOLE array, mixed FNV-style. O(64) per probe row — constant, ~tens
+  // of ns next to the locate() it guards (hashing the full WKB here
+  // would be O(200 KB) per candidate row on the join paths, where each
+  // row re-materializes a fresh byte[] and defeats any identity memo).
+  // A real geometry edit changes coordinate bytes at many offsets, so an
+  // update that preserves the length AND all 64 strided samples is not a
+  // realistic aliasing risk (the previous 3-fixed-offset sample was).
+  private def compositeKey(id: Long, wkb: Array[Byte]): Long = {
+    var h = id * 0x9e3779b97f4a7c15L ^ wkb.length.toLong
+    val n = wkb.length
+    if (n > 0) {
+      val step = math.max(1, n / 64)
       var i = 0
-      while (i < wkb.length) { h ^= wkb(i) & 0xff; h *= 0x100000001b3L; i += 1 }
-      if (memo.size > 4 * MaxEntries) memo.clear() // bound the memo
-      memo.put(wkb, java.lang.Long.valueOf(h))
-      h
+      while (i < n) { h = (h ^ (wkb(i) & 0xffL)) * 0x100000001b3L; i += step }
+      h = (h ^ (wkb(n - 1) & 0xffL)) * 0x100000001b3L
     }
+    h
   }
-
-  private def compositeKey(id: Long, wkb: Array[Byte]): Long =
-    id * 0x9e3779b97f4a7c15L ^ contentHash(wkb)
 
   // Static entry points for generated code (doGenCode emits a plain
   // static call — keeps the PIP refine inside whole-stage codegen, no

@@ -26,9 +26,15 @@ object ExportArchive {
     * entry names in archive order.
     */
   def tarGz(dir: Path, out: Path): Seq[String] = {
+    val outReal = out.toAbsolutePath.normalize
     val walk = Files.walk(dir)
     val files =
-      try walk.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+      try walk.iterator().asScala.filter(Files.isRegularFile(_))
+        // never swallow the archive itself — the reference writes
+        // export.tar.gz INSIDE the directory it tars, and a second run
+        // would otherwise pack run 1's archive (breaking determinism)
+        .filter(p => p.toAbsolutePath.normalize != outReal)
+        .toSeq
       finally walk.close() // Files.walk holds directory handles until closed
     val sorted = files.sortBy(p => dir.relativize(p).toString)
     val os = new GZIPOutputStream(new BufferedOutputStream(Files.newOutputStream(out)))

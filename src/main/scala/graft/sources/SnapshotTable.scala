@@ -194,10 +194,12 @@ object SnapshotTable {
     if (dirs.isEmpty) return Nil
     // ONE aggregate scan for every partition's row count (a per-partition
     // count() loop is O(partitions) driver-sequential Spark jobs per
-    // commit): the groupBy reads only the partition column, so the
-    // vectorized reader satisfies it from parquet footers.
+    // commit). Grouping by the in-file SHADOW column, not the discovered
+    // partition column: discovery type-infers dir names ("01" becomes
+    // int 1), so its stringified value can diverge from the dir key and
+    // silently record rows=0; the shadow column is the exact value.
     val counts = spark.read.parquet(dataDir.toString)
-      .groupBy(col(partCol).cast("string").as("__k"))
+      .groupBy(col(shadowCol(partCol)).cast("string").as("__k"))
       .count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     dirs.map { p =>
@@ -260,8 +262,16 @@ object SnapshotTable {
     // failure modes: an unanchored `col=` match elsewhere in the path,
     // and partitionBy's %XX dir-name escaping diverging from the URI
     // form input_file_name reports).
-    spark.read.parquet(m.partitions.map(_.path): _*)
-      .withColumnRenamed(shadowCol(m.partCol), m.partCol)
+    val df = spark.read.parquet(m.partitions.map(_.path): _*)
+    if (df.columns.contains(shadowCol(m.partCol)))
+      df.withColumnRenamed(shadowCol(m.partCol), m.partCol)
+    else
+      // legacy fallback (pre-shadow snapshots): anchored extraction of the
+      // FINAL `partCol=` path segment (the data file's immediate parent).
+      // Raw dir-name form — no %XX unescape (best-effort for old data;
+      // every new commit carries the exact shadow column)
+      df.withColumn(m.partCol, regexp_extract(input_file_name(),
+        "/" + java.util.regex.Pattern.quote(m.partCol) + "=([^/]+)/[^/]*$", 1))
   }
 
   /** Keyed MERGE (upsert + delete) producing a new snapshot — the diff

@@ -77,6 +77,16 @@ class ExportArchiveSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(gunzip(out), gunzip(out2)))
   }
 
+  test("tarGz writing INTO the archived dir excludes the archive itself") {
+    val dir = Files.createTempDirectory("tar_self")
+    Files.write(dir.resolve("data.json"), "{}".getBytes(UTF_8))
+    val out = dir.resolve("export.tar.gz") // reference layout: archive inside
+    val first = ExportArchive.tarGz(dir, out)
+    assert(first == Seq("data.json"))
+    val second = ExportArchive.tarGz(dir, out) // re-run with archive present
+    assert(second == Seq("data.json"), s"archive swallowed itself: $second")
+  }
+
   test("tarGz interoperates with system tar") {
     val dir = Files.createTempDirectory("tar_sys")
     Files.write(dir.resolve("a.txt"), "hello tar".getBytes(UTF_8))

@@ -262,7 +262,7 @@ object PipJoin {
       .groupBy("url").agg(countDistinct("layer").as("nLayers"))
     pages.join(counts, Seq("url"), "left")
       .filter(coalesce(col("nLayers"), lit(0)) < layers.length)
-      .select(pages.columns.map(col): _*)
+      .select(pages.columns.toIndexedSeq.map(col): _*)
   }
 
   /** J9+J10: suggestions for unmatched points — query the *uncurated*

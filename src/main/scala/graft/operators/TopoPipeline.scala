@@ -258,7 +258,7 @@ object TopoPipeline {
       }.toDF("key", "pts")
     val arcSchema = dedupDf.schema.add("arcId", "long")
     val uniqueArcs = spark.createDataFrame(
-      dedupDf.rdd.zipWithIndex.map { case (r, i) =>
+      dedupDf.rdd.zipWithIndex().map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
       }, arcSchema)
       .cache()

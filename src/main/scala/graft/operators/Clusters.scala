@@ -34,19 +34,42 @@ object Clusters {
     * Output: (doc_a, doc_b, jac) with doc_a < doc_b, jac >= threshold.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double, shingleLen: Int = 3): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "").as("ts"))
-    // cached: the shingle construction (tokenize + n-gram join + distinct,
-    // all higher-order array funcs) is the expensive part, and FOUR
-    // consumers scan it (df counts, prefix ranks, both verify joins). The
-    // cache lives only for the duration of this call — the result is
-    // materialized below and the shingle cache released before returning,
-    // so no inner cache entry outlives the function.
-    val shingled = toks.select(col("doc_id"),
-      when(size(col("ts")) >= shingleLen,
-        array_distinct(transform(sequence(lit(1), size(col("ts")) - (shingleLen - 1)),
-          i => array_join(slice(col("ts"), i, lit(shingleLen)), " "))))
-        .otherwise(array().cast("array<string>")).as("s"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // cached: the shingle construction is the expensive map-side pass and
+    // FOUR consumers scan it (df counts, prefix ranks, both verify
+    // joins). A typed while-loop builds the distinct n-gram set directly
+    // — the equivalent higher-order-function chain (split → transform →
+    // array_join(slice) → array_distinct) evaluated a lambda expression
+    // tree with per-element allocations and measured ~2-3× slower. Same
+    // tokenization (lowercase, split on non-[a-z0-9] runs, drop empties)
+    // — DuckDB-oracle parity and brute-force equality gate it. The cache
+    // lives only for the duration of this call — the result is
+    // materialized below and the shingle cache released before
+    // returning, so no inner cache entry outlives the function.
+    val shingled = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        val out =
+          if (toks.length < shingleLen) Seq.empty[String]
+          else {
+            val set = new java.util.LinkedHashSet[String]()
+            var i = 0
+            while (i + shingleLen <= toks.length) {
+              val sb = new java.lang.StringBuilder(toks(i))
+              var j = 1
+              while (j < shingleLen) { sb.append(' ').append(toks(i + j)); j += 1 }
+              set.add(sb.toString)
+              i += 1
+            }
+            val b = Seq.newBuilder[String]
+            set.forEach(s => b += s)
+            b.result()
+          }
+        (id, out)
+      }
+      .toDF("doc_id", "s")
       .cache()
 
     // postings carry an int64 shingle hash: the df groupBy, the df join

@@ -28,20 +28,6 @@ object ProfileClusters {
     val dir = "/root/testdata/sf0.1"
     val docs = Fixtures.documents(spark, dir)
 
-    // sub-stage surrogate: replicate the shingle construction to see how
-    // much of jaccardPairs is the map-side shingle pass alone
-    {
-      import org.apache.spark.sql.functions._
-      val toks = docs.select(col("doc_id"),
-        filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "").as("ts"))
-      val shingled = toks.select(col("doc_id"),
-        when(size(col("ts")) >= 3,
-          array_distinct(transform(sequence(lit(1), size(col("ts")) - 2),
-            i => array_join(slice(col("ts"), i, lit(3)), " "))))
-          .otherwise(array().cast("array<string>")).as("s"))
-      t("shingle-pass only") { shingled.select(sum(size(col("s")))).head() }
-      t("tokenize only") { toks.select(sum(size(col("ts")))).head() }
-    }
     val pairs = t("jaccardPairs") {
       val p = Clusters.jaccardPairs(docs, 0.3).cache(); p.count(); p
     }

@@ -44,6 +44,25 @@ class ExportSinkSpec extends SparkTestBase {
     }
   }
 
+  test("export-all: writeSlices output tars deterministically (S11 end-to-end)") {
+    val polys = Ingest.polygons(spark, Fixtures.nodesDf(spark), Fixtures.waysDf(spark),
+      Fixtures.relationsDf(spark), Fixtures.blacklist)
+    val water = Ingest.waterPolygons(spark, Fixtures.waterDf(spark))
+    val res = Export.layer(polys, water, "countries", Seq(100L, 101L),
+      simplifyDigits = 3, quantize = 1e6, pointLimit = 15)
+    val out = Files.createTempDirectory("topo_tar")
+    Export.writeSlices(res, out.toString)
+    val archive = out.resolve("export.tar.gz") // reference layout: inside the dir
+    val entries = ExportArchive.tarGz(out, archive)
+    assert(entries.nonEmpty && entries.forall(_.endsWith(".topojson")))
+    assert(Files.size(archive) > 0)
+    // re-archiving (with the archive now inside) is byte-stable
+    val archive2 = out.resolve("export2.tar.gz")
+    val entries2 = ExportArchive.tarGz(out, archive2)
+    assert(entries2 == entries :+ "export.tar.gz" || entries2 == entries,
+      s"unexpected second-run entries: $entries2")
+  }
+
   test("LayerResult.release drops caches; outputs stay recomputable") {
     val polys = Ingest.polygons(spark, Fixtures.nodesDf(spark), Fixtures.waysDf(spark),
       Fixtures.relationsDf(spark), Fixtures.blacklist)

@@ -47,10 +47,13 @@ object Bench {
     * quadkey tile aggregation. Returns (pages processed, seconds).
     */
   def headline(spark: SparkSession, sfDir: String, replicate: Int): (Long, Double) = {
-    val polys = operators.Ingest.polygons(spark, sources.Fixtures.nodesDf(spark),
-      sources.Fixtures.waysDf(spark), sources.Fixtures.relationsDf(spark),
-      sources.Fixtures.blacklist).cache()
-    val covers = operators.Ingest.cellCovers(polys).cache()
+    // SparkEntry's session memo, NOT a private cache copy of the same
+    // plan: CacheManager matches cached entries by logical plan, so a
+    // second cache()+unpersist() of the identical Ingest plan would evict
+    // the memo's entry and leave SparkEntry.dims handing out silently
+    // uncached DataFrames to every later query. The memo owns the
+    // lifecycle; repeated headline passes reuse one cached copy.
+    val (polys, covers) = SparkEntry.sharedDims(spark)
     polys.count(); covers.count() // materialize dims outside the timed section
 
     val pages = spark.read.parquet(pagesTable(spark, sfDir, replicate))
@@ -62,9 +65,6 @@ object Bench {
       matches.select(col("url"), col("lang"), col("lon"), col("lat")), 10)
     tiled.count()
     val secs = (System.nanoTime() - t0) / 1e9
-    // headline runs 2-3 times per session (warm + measured passes): drop
-    // this call's dimension caches so repeated passes don't stack blocks
-    polys.unpersist(); covers.unpersist()
     (nPages, secs)
   }
 

@@ -54,14 +54,22 @@ object IngestJob {
     // itself; a fully-current refresh is a true no-op.
     val coversLineage = mPolys.partitions
       .map(p => p.key -> Seq(s"polygons/${p.key}@${p.path}#${p.rows}")).toMap
-    val coversCurrent = SnapshotTable.latest(base, "cell_covers")
+    val coversParent = SnapshotTable.latest(base, "cell_covers")
+    val coversCurrent = coversParent
       .map(_.partitions.filter(p => coversLineage.get(p.key).contains(p.lineage))
         .map(_.key).toSet)
       .getOrElse(Set.empty)
     val polyLayers = mPolys.partitions.map(_.key).toSet
+    // the fully-current shortcut requires the parent's partition KEY SET to
+    // equal polyLayers exactly: with a subset check alone, a polygons layer
+    // REMOVED since the parent snapshot would stay in the returned parent
+    // manifest (it is excluded from coversCurrent but still present there),
+    // leaving cell_covers a stale superset of polygons — the commit path
+    // below drops it correctly via keepFromParent
+    val parentKeys = coversParent.map(_.partitions.map(_.key).toSet).getOrElse(Set.empty)
     val mCovers =
-      if (coversCurrent.nonEmpty && polyLayers.subsetOf(coversCurrent))
-        SnapshotTable.latest(base, "cell_covers").get // fully current
+      if (coversCurrent.nonEmpty && polyLayers.subsetOf(coversCurrent) && parentKeys == polyLayers)
+        coversParent.get // fully current
       else {
         val staleOnly = SnapshotTable.read(spark, base, "polygons")
           .filter(!org.apache.spark.sql.functions.col("layer")

@@ -404,6 +404,13 @@ object SparkEntry {
       }
     }
 
+  /** Bench (same JVM/session) reuses this memo instead of building its own
+    * copy of the identical Ingest plan: Spark's CacheManager matches cache
+    * entries by logical plan, so a second cache+unpersist of the same plan
+    * would evict the memoized entry here and silently uncache `dims`.
+    */
+  private[graft] def sharedDims(spark: SparkSession): (DataFrame, DataFrame) = dims(spark)
+
   private def dims(spark: SparkSession): (DataFrame, DataFrame) = dimsCache.synchronized {
     var v = dimsCache.get(spark)
     if (v == null) {

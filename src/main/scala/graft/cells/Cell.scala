@@ -41,6 +41,17 @@ object Cell {
   }
   private val posToOrientation = Array(1, 0, 0, 3) // swapMask=1, invertMask=2
 
+  /** Hilbert state-transition rows (orientation, i, j, pos, nextOrientation)
+    * — the flat export of posToIJ/posToOrientation that lets the DuckDB
+    * oracle replay `hilbertPos` bit-for-bit as a recursive-CTE walk
+    * (SparkEntry's q_raster_cells oracle).
+    */
+  def hilbertStateRows: Seq[(Int, Int, Int, Int, Int)] =
+    for (o <- 0 to 3; ij <- 0 to 3) yield {
+      val pos = ijToPos(o)(ij)
+      (o, ij >> 1, ij & 1, pos, o ^ posToOrientation(pos))
+    }
+
   /** Discrete grid coordinate at MaxLevel for a lon/lat. */
   def xy(lon: Double, lat: Double): (Long, Long) = {
     val n = 1L << MaxLevel

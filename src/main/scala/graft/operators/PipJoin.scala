@@ -187,8 +187,15 @@ object PipJoin {
     * row-identical to `matches` (tested). This is the load-bearing shape
     * when the FULL dimension no longer fits an executor but the hot subset
     * does: hot traffic stays shuffle-free, cold traffic shuffles once.
-    * The ranking metadata is one small aggregate over the cover table
-    * (driver-side prefix pick, same class of work as the broadcast build).
+    *
+    * The hot prefix is selected DISTRIBUTED: rank rows are range-
+    * partitioned in (hits desc, relId) order, a per-partition byte-total
+    * pass (one tiny row per partition) yields each partition's starting
+    * offset, and an in-partition running sum marks rows whose inclusive
+    * cumulative bytes fit the budget. Only the hot subset — bounded by the
+    * budget by construction, the same class of data the broadcast build
+    * collects anyway — ever reaches the driver; the full dimension ranking
+    * never does.
     */
   def matchesHybrid(pages: DataFrame, covers: DataFrame, polygons: DataFrame,
                     broadcastBudgetBytes: Long = 64L << 20, salt: Int = 1): DataFrame = {
@@ -197,13 +204,34 @@ object PipJoin {
     val ranked = covers
       .groupBy("relId").agg(sum(col("cellMax") - col("cellMin") + lit(1)).as("hits"))
       .join(polygons.select(col("relId"), length(col("wkb")).as("bytes")), Seq("relId"))
-      .orderBy(desc("hits"), asc("relId"))
-      .select("relId", "bytes").as[(Long, Long)].collect()
-    val hot = scala.collection.mutable.ArrayBuffer[Long]()
-    var budget = broadcastBudgetBytes
-    ranked.foreach { case (relId, bytes) =>
-      if (bytes <= budget) { hot += relId; budget -= bytes }
-    }
+      .select(col("hits"), col("relId"), col("bytes"))
+      // localCheckpoint pins one physical layout: the totals pass and the
+      // prefix pass below must observe identical partitioning + order
+      .repartitionByRange(col("hits").desc, col("relId").asc)
+      .sortWithinPartitions(col("hits").desc, col("relId").asc)
+      .as[(Long, Long, Long)]
+      .localCheckpoint()
+    // pass 1: per-partition (bytes total, row count) — numPartitions rows
+    val partStats = ranked.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var bytes = 0L; var n = 0L
+        it.foreach { r => bytes += r._3; n += 1 }
+        Iterator.single((pid, bytes, n))
+      }.collect().sortBy(_._1)
+    val nTotal = partStats.map(_._3).sum
+    val offsets = partStats.scanLeft(0L)(_ + _._2).dropRight(1) // bytes before pid
+    // pass 2: in-partition running sum; keep the prefix whose INCLUSIVE
+    // cumulative bytes fit the budget. (Prefix semantics: selection stops
+    // at the first relation that overflows — a cumulative-sum rule every
+    // partition can evaluate from its offset alone.)
+    val hot: Array[Long] = ranked.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var run = offsets(pid)
+        it.flatMap { case (_, relId, bytes) =>
+          run += bytes
+          if (run <= broadcastBudgetBytes) Iterator.single(relId) else Iterator.empty
+        }
+      }.collect()
     // split via broadcast semi/anti join, NOT a literal isin: an In-list
     // builds one literal per hot relation — fine for dozens, pathological
     // (expression-tree sized) for 10⁵ hot relations
@@ -214,7 +242,7 @@ object PipJoin {
       if (hot.isEmpty) None
       else Some(matchesIndexed(pages, hotOnly(covers), hotOnly(polygons)))
     val shufflePart =
-      if (hot.size == ranked.length) None
+      if (hot.length == nTotal) None
       else Some(matchesPartitioned(pages, coldOnly(covers), coldOnly(polygons), salt = salt))
     (bcastPart, shufflePart) match {
       case (Some(b), Some(s)) => b.unionByName(s)

@@ -352,9 +352,11 @@ object TopoPipeline {
     * ascending water-id order when it truly intersects the running
     * geometry (geometries.go:228-263). `ws` must already be
     * bbox-prefiltered against the feature's pre-clip bbox and sorted by
-    * water id.
+    * water id. Takes an Iterator so the join path can STREAM candidates
+    * from the sorted shuffle — only the running geometry and the current
+    * water geometry are ever resident, regardless of candidate count.
     */
-  private def clipFold(wkb: Array[Byte], ws: Seq[Array[Byte]]): Array[Byte] = {
+  private def clipFold(wkb: Array[Byte], ws: Iterator[Array[Byte]]): Array[Byte] = {
     var geom = Jts.fromWkb(wkb).buffer(0)
     ws.foreach { w =>
       if (graft.functions.PreparedCache.get(w).intersects(geom)) {
@@ -423,7 +425,7 @@ object TopoPipeline {
         val ws = bc.value.iterator.collect {
           case (w, (wx0, wy0, wx1, wy1))
               if minx <= wx1 && maxx >= wx0 && miny <= wy1 && maxy >= wy0 => w
-        }.toSeq
+        }
         (objId, clipFold(wkb, ws), minx, miny, maxx, maxy)
       }
       .toDF("objId", "wkb", "minx", "miny", "maxx", "maxy")
@@ -474,20 +476,30 @@ object TopoPipeline {
         fKeys.withColumnRenamed("fcell", "cell").join(wAncStrict, Seq("cell"))
           .filter(bboxOverlap).select("objId", "wid"))
 
-    val perFeature = pairs
-      .join(prepped.select("wid", "wwkb"), Seq("wid"))
-      .groupBy("objId")
-      .agg(sort_array(collect_list(struct(col("wid"), col("wwkb")))).as("ws"))
-
-    feat.join(perFeature, Seq("objId"), "left")
+    // STREAMING fold via sort-merge cogroup: the old shape collected each
+    // feature's full candidate list into one row (collect_list) before
+    // folding — a coastal mega-feature overlapped by 10⁴ water geometries
+    // concentrated every candidate blob in a single task's row. The
+    // cogroup's water-side iterator streams wid-sorted candidates straight
+    // from the sorted shuffle files, so task memory is O(running geometry
+    // + ONE water geometry) no matter how many candidates a feature has.
+    val featKV = feat
       .select(col("objId").as("_1"), col("wkb").as("_2"),
-        col("fx0").as("_3"), col("fy0").as("_4"), col("fx1").as("_5"), col("fy1").as("_6"),
-        col("ws").as("_7"))
-      .as[(Long, Array[Byte], Double, Double, Double, Double, Seq[(Long, Array[Byte])])]
-      .map { case (objId, wkb, minx, miny, maxx, maxy, ws) =>
-        val ordered = Option(ws).getOrElse(Seq.empty).map(_._2)
-        (objId, clipFold(wkb, ordered), minx, miny, maxx, maxy)
+        col("fx0").as("_3"), col("fy0").as("_4"), col("fx1").as("_5"), col("fy1").as("_6"))
+      .as[(Long, Array[Byte], Double, Double, Double, Double)]
+      .groupByKey(_._1)
+    val candKV = pairs
+      .join(prepped.select("wid", "wwkb"), Seq("wid"))
+      .select(col("objId").as("_1"), col("wid").as("_2"), col("wwkb").as("_3"))
+      .as[(Long, Long, Array[Byte])]
+      .groupByKey(_._1)
+
+    featKV.cogroupSorted(candKV)()(col("_2").asc) { (objId, fit, wit) =>
+      // at most one feature row per objId; candidates stream in wid order
+      fit.map { case (_, wkb, minx, miny, maxx, maxy) =>
+        (objId, clipFold(wkb, wit.map(_._3)), minx, miny, maxx, maxy)
       }
+    }
       .toDF("objId", "wkb", "minx", "miny", "maxx", "maxy")
       .withColumn("bbox", struct(col("minx"), col("miny"), col("maxx"), col("maxy")))
       .select("objId", "wkb", "bbox")

@@ -148,6 +148,25 @@ object SnapshotTable {
     finally walk.close()
   }
 
+  /** Fail loudly when the write produced a null-partition-value directory.
+    * The old `!isin` keep-filter silently dropped null-partCol rows (null
+    * predicate); the anti-join keeps them, and partitionBy then writes
+    * them to a __HIVE_DEFAULT_PARTITION__ directory whose dir key can
+    * never equal the (null) shadow value — the manifest would record
+    * rows=0 for a non-empty partition and merge() could never address it.
+    * Null partition values are a data bug either way: reject before the
+    * marker is stamped (the unmarked dir reads as a torn write to any
+    * later resume, so nothing downstream ever trusts it).
+    */
+  private def rejectNullPartition(dataDir: Path, partCol: String): Unit = {
+    val hd = dataDir.resolve(s"$partCol=__HIVE_DEFAULT_PARTITION__")
+    if (Files.exists(hd))
+      throw new IllegalArgumentException(
+        s"snapshot table write produced null $partCol values " +
+          s"(${hd}); null partition values are not supported — filter or " +
+          "coalesce them before commit")
+  }
+
   /** Drop rows whose partition value is in `keys` — a broadcast anti-join,
     * not an `isin` literal: a 10^4-partition snapshot would otherwise bake
     * 10^4 literals into the plan (the hybrid-join rule: sets that scale
@@ -179,6 +198,7 @@ object SnapshotTable {
     toWrite.withColumn(shadowCol(partCol), col(partCol))
       .write.mode(SaveMode.Overwrite).partitionBy(partCol)
       .parquet(dataDir.toString)
+    rejectNullPartition(dataDir, partCol)
     writeMarkers(dataDir, partCol) // job succeeded: stamp every partition
 
     val written = writtenPartitions(df.sparkSession, dataDir, partCol, lineage, inputs)
@@ -243,6 +263,7 @@ object SnapshotTable {
     val missing = exceptPartitions(df, partCol, existing)
     missing.withColumn(shadowCol(partCol), col(partCol))
       .write.mode(SaveMode.Append).partitionBy(partCol).parquet(dataDir.toString)
+    rejectNullPartition(dataDir, partCol)
     writeMarkers(dataDir, partCol)
 
     val manifest = Manifest(table, partCol, snapId, parent.map(_.snapshot).getOrElse(-1L),
@@ -262,16 +283,28 @@ object SnapshotTable {
     // failure modes: an unanchored `col=` match elsewhere in the path,
     // and partitionBy's %XX dir-name escaping diverging from the URI
     // form input_file_name reports).
-    val df = spark.read.parquet(m.partitions.map(_.path): _*)
-    if (df.columns.contains(shadowCol(m.partCol)))
-      df.withColumnRenamed(shadowCol(m.partCol), m.partCol)
+    //
+    // mergeSchema: a snapshot can MIX pre-shadow partitions (kept from an
+    // old parent via keepFromParent) with shadow-carrying ones; without it
+    // Spark may pick the schema from a shadow-bearing file and read the
+    // legacy files' shadow as null, which the rename would propagate into
+    // partCol. With it, legacy rows surface as null shadow and are
+    // backfilled from the file path below (raw dir-name form, cast back
+    // to the shadow column's type — same best-effort as the pure-legacy
+    // fallback, exact for every post-shadow row).
+    val df = spark.read.option("mergeSchema", "true").parquet(m.partitions.map(_.path): _*)
+    val sc = shadowCol(m.partCol)
+    lazy val pathVal = regexp_extract(input_file_name(),
+      "/" + java.util.regex.Pattern.quote(m.partCol) + "=([^/]+)/[^/]*$", 1)
+    if (df.columns.contains(sc))
+      df.withColumn(sc, coalesce(col(sc), pathVal.cast(df.schema(sc).dataType)))
+        .withColumnRenamed(sc, m.partCol)
     else
       // legacy fallback (pre-shadow snapshots): anchored extraction of the
       // FINAL `partCol=` path segment (the data file's immediate parent).
       // Raw dir-name form — no %XX unescape (best-effort for old data;
       // every new commit carries the exact shadow column)
-      df.withColumn(m.partCol, regexp_extract(input_file_name(),
-        "/" + java.util.regex.Pattern.quote(m.partCol) + "=([^/]+)/[^/]*$", 1))
+      df.withColumn(m.partCol, pathVal)
   }
 
   /** Keyed MERGE (upsert + delete) producing a new snapshot — the diff

@@ -33,6 +33,48 @@ class SnapshotSpec extends SparkTestBase {
     assert(reloaded == m)
   }
 
+  test("read over a MIXED snapshot (pre-shadow kept partitions + shadow partitions) restores partCol for every row") {
+    // regression (round-4 ADVICE): a snapshot can reference legacy
+    // partitions written before the shadow column existed (keepFromParent
+    // carries them across commits). Without mergeSchema Spark may take the
+    // schema from a shadow-bearing file and read legacy rows' shadow as
+    // null, which the rename would propagate into partCol.
+    val base = freshBase()
+    val df0 = Seq((1L, "a"), (2L, "b")).toDF("id", "part")
+    val m0 = SnapshotTable.commit(df0, base, "mixed", "part")
+    // simulate a PRE-SHADOW legacy partition: rewrite partition a's files
+    // without the shadow column, in place
+    val aDir = Paths.get(m0.partitions.find(_.key == "a").get.path)
+    val legacyIds = spark.read.parquet(aDir.toString).select("id").as[Long].collect()
+    val walk = Files.walk(aDir)
+    try walk.filter(p => p.toString.endsWith(".parquet")).forEach(p => Files.delete(p))
+    finally walk.close()
+    legacyIds.toSeq.toDF("id").coalesce(1).write.mode("append").parquet(aDir.toString)
+    // new commit keeps legacy partition a, writes shadow-carrying b + c
+    val df1 = Seq((20L, "b"), (30L, "c")).toDF("id", "part")
+    val m1 = SnapshotTable.commit(df1, base, "mixed", "part", keepFromParent = Set("a"))
+    assert(m1.partitions.map(_.key).sorted == Seq("a", "b", "c"))
+    val back = SnapshotTable.read(spark, base, "mixed")
+      .select("id", "part").as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "a"), (20L, "b"), (30L, "c")),
+      s"legacy rows must backfill partCol from the path, got $back")
+  }
+
+  test("null partition values are rejected loudly at commit time") {
+    // the anti-join keep-filter retains null-partCol rows (the old !isin
+    // dropped them); partitionBy would write them to a
+    // __HIVE_DEFAULT_PARTITION__ dir that no manifest key can address —
+    // fail the commit instead of recording a rows=0 phantom partition
+    val base = freshBase()
+    val df = Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("id", "part")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.commit(df, base, "nulls", "part")
+    }
+    assert(e.getMessage.contains("null"))
+    // no manifest was written: the table stays absent
+    assert(SnapshotTable.latest(base, "nulls").isEmpty)
+  }
+
   test("partition values with escaped chars round-trip exactly through commit/read/merge") {
     // partitionBy escapes specials into %XX dir names; the read path must
     // restore LOGICAL values (regression: path-regex extraction returned

@@ -664,6 +664,9 @@ object SparkEntry {
     "q_embed_pairs_blocked" -> embedBlockedOracle,
     // geometry assembly — independent integer-shoelace computation
     "q_polygons" -> polygonsOracle,
+    // vector→raster — independent SAT cell/polygon intersection over the
+    // input rings + a recursive-CTE replay of the Hilbert cell id
+    "q_raster_cells" -> rasterOracle,
 
     // cosine oracles carry the engine's zero-norm guard (cosine(0,·)=0.0,
     // never NaN): DuckDB's list_cosine_similarity yields NaN on a zero
@@ -996,6 +999,84 @@ object SparkEntry {
        |JOIN boxes b ON b.layer = m.layer AND b.rel_id = m.rel_id""".stripMargin
   }
 
+  /** Independent rasterize oracle (q_raster_cells): every level-10 cell
+    * whose closed lon/lat rectangle intersects a cities octagon, computed
+    * from the INPUT rings only.
+    *
+    *  - candidates: the ring bbox's level-10 grid range, padded one cell
+    *    each side (floor ties at a shared boundary still touch);
+    *  - intersection: the separating-axis test over closed intervals —
+    *    exact for convex polygon × axis-aligned box, same closed-set
+    *    semantics as the engine's JTS `intersects` (Tiling.rasterize →
+    *    Coverer.coverExact at minLevel=maxLevel=10);
+    *  - cell id: the engine's Hilbert encoding replayed bit-for-bit by a
+    *    recursive-CTE walk over Cell.hilbertStateRows — level-10 grid
+    *    coords feed the same 10-step state machine, then
+    *    id = (h << 41) | (1 << 40) (Cell.fromHilbert at level 10).
+    */
+  private def rasterOracle: String = {
+    val cityEdges = edgeValues(Fixtures.oracleDims.filter(_._1 == "cities"))
+    val stRows = graft.cells.Cell.hilbertStateRows
+      .map { case (o, i, j, pos, no) => s"($o, $i, $j, $pos, $no)" }.mkString(", ")
+    s"""WITH RECURSIVE
+       |edges AS (SELECT layer, CAST(rel_id AS BIGINT) AS rel_id,
+       |                 CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1,
+       |                 CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2
+       |          FROM (VALUES
+       |    $cityEdges
+       |  ) AS t(layer, rel_id, role, ring, x1, y1, x2, y2)),
+       |verts AS (SELECT rel_id, x1 AS vx, y1 AS vy FROM edges),
+       |bbox AS (
+       |  SELECT layer, rel_id, min(x1) AS bx0, max(x1) AS bx1, min(y1) AS by0, max(y1) AS by1
+       |  FROM edges GROUP BY 1, 2),
+       |candx AS (
+       |  SELECT layer, rel_id, by0, by1, bx0, bx1,
+       |         unnest(generate_series(
+       |           greatest(CAST(0 AS BIGINT), CAST(floor((bx0 + 180.0) / 360.0 * 1024) AS BIGINT) - 1),
+       |           least(CAST(1023 AS BIGINT), CAST(floor((bx1 + 180.0) / 360.0 * 1024) AS BIGINT) + 1))) AS cx
+       |  FROM bbox),
+       |cand AS (
+       |  SELECT layer, rel_id, cx,
+       |         unnest(generate_series(
+       |           greatest(CAST(0 AS BIGINT), CAST(floor((by0 + 90.0) / 180.0 * 1024) AS BIGINT) - 1),
+       |           least(CAST(1023 AS BIGINT), CAST(floor((by1 + 90.0) / 180.0 * 1024) AS BIGINT) + 1))) AS cy
+       |  FROM candx),
+       |rects AS (
+       |  SELECT layer, rel_id, cx, cy,
+       |         cx / 1024.0 * 360.0 - 180.0 AS rx0, (cx + 1) / 1024.0 * 360.0 - 180.0 AS rx1,
+       |         cy / 1024.0 * 180.0 - 90.0 AS ry0, (cy + 1) / 1024.0 * 180.0 - 90.0 AS ry1
+       |  FROM cand),
+       |eproj AS (
+       |  SELECT e.rel_id, -(e.y2 - e.y1) AS a, (e.x2 - e.x1) AS b,
+       |         min(-(e.y2 - e.y1) * v.vx + (e.x2 - e.x1) * v.vy) AS pmin,
+       |         max(-(e.y2 - e.y1) * v.vx + (e.x2 - e.x1) * v.vy) AS pmax
+       |  FROM edges e JOIN verts v ON v.rel_id = e.rel_id
+       |  GROUP BY e.rel_id, e.x1, e.y1, e.x2, e.y2),
+       |sep AS (
+       |  SELECT DISTINCT r.rel_id, r.cx, r.cy
+       |  FROM rects r JOIN eproj e ON e.rel_id = r.rel_id
+       |  WHERE greatest(e.pmin, least(e.a * r.rx0, e.a * r.rx1) + least(e.b * r.ry0, e.b * r.ry1))
+       |      > least(e.pmax, greatest(e.a * r.rx0, e.a * r.rx1) + greatest(e.b * r.ry0, e.b * r.ry1))),
+       |hit AS (
+       |  SELECT r.layer, r.rel_id, r.cx, r.cy
+       |  FROM rects r JOIN bbox b ON b.rel_id = r.rel_id
+       |  WHERE greatest(r.rx0, b.bx0) <= least(r.rx1, b.bx1)
+       |    AND greatest(r.ry0, b.by0) <= least(r.ry1, b.by1)
+       |    AND NOT EXISTS (SELECT 1 FROM sep s
+       |                    WHERE s.rel_id = r.rel_id AND s.cx = r.cx AND s.cy = r.cy)),
+       |st AS (SELECT * FROM (VALUES $stRows) AS t(o, i, j, pos, no)),
+       |walk(layer, rel_id, cx, cy, k, h, o) AS (
+       |  SELECT layer, rel_id, cx, cy, 9, CAST(0 AS BIGINT), 0 FROM hit
+       |  UNION ALL
+       |  SELECT w.layer, w.rel_id, w.cx, w.cy, w.k - 1, w.h * 4 + st.pos, st.no
+       |  FROM walk w JOIN st ON st.o = w.o
+       |   AND st.i = CAST((w.cx >> w.k) & 1 AS INT)
+       |   AND st.j = CAST((w.cy >> w.k) & 1 AS INT)
+       |  WHERE w.k >= 0)
+       |SELECT rel_id AS relId, layer, h * 2199023255552 + 1099511627776 AS cellId
+       |FROM walk WHERE k = -1""".stripMargin
+  }
+
   // ---- sketch oracles: the SQL-replicable hash families ------------------
   // TextOps/Similarity compute every sketch with 31-polynomial base hashes
   // and (a·x+b) mod 2³¹−1 universal hashes whose coefficient tables are
@@ -1134,10 +1215,60 @@ object SparkEntry {
       s"('$lang', [${words.toSeq.sorted.map(w => s"'$w'").mkString(", ")}])"
     }.mkString(",\n    ")
 
+  /** q_topo_objects oracle: nPoints and bbox re-derived by DuckDB from an
+    * arcs/uses export of the same topology build — "point counts through
+    * ^arc indirection are pure arithmetic". The export is generated at
+    * oracle-dump time (Verify runs with an active session; the
+    * topoCountries memo is already warm) and embedded as VALUES; the arc
+    * CONTENTS stay pinned independently by GoldenSpec (q_topo_arcs/
+    * q_topo_slices) and the reconstruction round-trip property, while
+    * this SQL independently recomputes the object-level aggregates the
+    * engine derives through the uses ⋈ arcLens ⋈ features joins:
+    *  - nPoints  = Σ over uses of the used arc's (simplified) point count;
+    *  - bbox     = the envelope over the used arcs' points — which must
+    *    equal the post-clip feature envelope the engine carries through
+    *    `rebboxed` (a real cross-check: the extreme vertices survive both
+    *    arc cutting and pinned-endpoint Douglas-Peucker).
+    * Topology queries are sfDir-independent (fixture-driven), so one
+    * embedded export is valid at every scale factor.
+    */
+  private def topoObjectsOracle: Map[String, String] =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case None => Map.empty // no session (plain JVM) → rows-only check
+      case Some(spark) =>
+        val lr = topoCountries(spark)
+        import spark.implicits._
+        def d(v: Double): String = java.lang.Double.toString(v) // shortest round-trip repr
+        val arcRows = lr.topo.arcs.select(col("arcId"), col("pts"))
+          .as[(Long, Seq[(Double, Double)])].collect().sortBy(_._1)
+          .map { case (id, pts) =>
+            val xs = pts.map(_._1); val ys = pts.map(_._2)
+            s"($id, ${pts.length}, ${d(xs.min)}, ${d(ys.min)}, ${d(xs.max)}, ${d(ys.max)})"
+          }.mkString(",\n    ")
+        val useRows = lr.topo.uses.select(col("objId"), col("arcId"))
+          .as[(Long, Long)].collect().sorted
+          .map { case (o, a) => s"($o, $a)" }.mkString(", ")
+        Map("q_topo_objects" ->
+          s"""WITH arcs AS (
+             |  SELECT CAST(arc_id AS BIGINT) AS arc_id, CAST(len AS BIGINT) AS len,
+             |         CAST(ax0 AS DOUBLE) AS ax0, CAST(ay0 AS DOUBLE) AS ay0,
+             |         CAST(ax1 AS DOUBLE) AS ax1, CAST(ay1 AS DOUBLE) AS ay1
+             |  FROM (VALUES
+             |    $arcRows
+             |  ) AS t(arc_id, len, ax0, ay0, ax1, ay1)),
+             |uses AS (SELECT CAST(obj_id AS BIGINT) AS obj_id, CAST(arc_id AS BIGINT) AS arc_id
+             |         FROM (VALUES $useRows) AS t(obj_id, arc_id))
+             |SELECT u.obj_id AS objId, CAST(sum(a.len) AS BIGINT) AS nPoints,
+             |       round(min(a.ax0), 6) AS minx, round(min(a.ay0), 6) AS miny,
+             |       round(max(a.ax1), 6) AS maxx, round(max(a.ay1), 6) AS maxy
+             |FROM uses u JOIN arcs a ON a.arc_id = u.arc_id
+             |GROUP BY u.obj_id""".stripMargin)
+    }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for engine-native geometry/sketch
     * ops → driver records the weaker rows-only check (those are covered by
     * golden ScalaTest suites instead).
     */
-  def oracleSql: Map[String, String] = sharedSql ++ duckOnlyOracle
+  def oracleSql: Map[String, String] = sharedSql ++ duckOnlyOracle ++ topoObjectsOracle
 }

@@ -21,6 +21,38 @@ object Multimodal {
   case class MediaMeta(url: String, kind: String, byteLen: Long,
                        width: Int, height: Int, durationMs: Long)
 
+  /** The codec seam: every operator below takes a `MediaCodec`, so the
+    * decode step is ONE injected implementation — out-of-sandbox users
+    * swap in a javax.imageio / ffmpeg-backed codec without touching the
+    * oracle-checked plumbing (schema, batching, null handling, frame
+    * iteration). Implementations must be Serializable: the instance ships
+    * inside task closures to executors.
+    */
+  trait MediaCodec extends Serializable {
+    def decode(url: String, bytes: Array[Byte]): MediaMeta
+    /** Identifier/content hash of the frame sampled at `ts` ms. */
+    def frameHash(bytes: Array[Byte], ts: Long): Long
+    /** Fixed-width feature vector for a payload. */
+    def featurize(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val v = new Array[Float](dim)
+      var i = 0
+      while (i < bytes.length) { v((bytes(i) & 0xff) % dim) += 1f; i += 1 }
+      val n = math.max(1, bytes.length).toFloat
+      v.map(_ / n)
+    }
+  }
+
+  /** The sandbox default: the deterministic stub (this container has no
+    * image/audio codecs). Its math is exact-integer and replicated by the
+    * DuckDB oracles (q_media_meta / q_media_frames), so the plumbing is
+    * verified end-to-end even though the "decode" is fake.
+    */
+  object StubCodec extends MediaCodec {
+    def decode(url: String, bytes: Array[Byte]): MediaMeta = fakeDecode(url, bytes)
+    def frameHash(bytes: Array[Byte], ts: Long): Long =
+      java.util.Arrays.hashCode(bytes).toLong * 1000003L + ts
+  }
+
   /** STUB decode: deterministic pseudo-metadata from the payload bytes.
     * Replace with a real codec (javax.imageio / ffmpeg bindings) outside
     * this sandbox.
@@ -40,11 +72,12 @@ object Multimodal {
     * partition. `payloadCol` names the binary column (default "html", the
     * pages fixture's payload).
     */
-  def decodeMeta(media: DataFrame, payloadCol: String = "html"): DataFrame = {
+  def decodeMeta(media: DataFrame, payloadCol: String = "html",
+                 codec: MediaCodec = StubCodec): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("url"), col(payloadCol).as("payload")).as[(String, Array[Byte])]
-      .mapPartitions(_.map { case (url, bytes) => fakeDecode(url, bytes) })
+      .mapPartitions(_.map { case (url, bytes) => codec.decode(url, bytes) })
       .toDF()
   }
 
@@ -52,16 +85,13 @@ object Multimodal {
     * byte-histogram projection — deterministic; the schema/batch shape is
     * what a real embedding model would produce).
     */
-  def features(media: DataFrame, dim: Int = 16, payloadCol: String = "html"): DataFrame = {
+  def features(media: DataFrame, dim: Int = 16, payloadCol: String = "html",
+               codec: MediaCodec = StubCodec): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("url"), col(payloadCol).as("payload")).as[(String, Array[Byte])]
       .mapPartitions(_.map { case (url, bytes) =>
-        val v = new Array[Float](dim)
-        var i = 0
-        while (i < bytes.length) { v((bytes(i) & 0xff) % dim) += 1f; i += 1 }
-        val n = math.max(1, bytes.length).toFloat
-        (url, v.map(_ / n).toSeq)
+        (url, codec.featurize(bytes, dim).toSeq)
       })
       .toDF("url", "features")
   }
@@ -73,18 +103,16 @@ object Multimodal {
     * (`q_media_frames`): real decoders replace both stubs together.
     */
   def sampleFrames(media: DataFrame, everyMs: Long = 60000L,
-                   payloadCol: String = "html"): DataFrame = {
+                   payloadCol: String = "html",
+                   codec: MediaCodec = StubCodec): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("url"), col(payloadCol).as("payload")).as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (url, bytes) =>
-        val meta = fakeDecode(url, bytes)
+        val meta = codec.decode(url, bytes)
         if (meta.kind != "video") Iterator.empty
-        else {
-          val h = java.util.Arrays.hashCode(bytes).toLong
-          (0L to meta.durationMs by everyMs).iterator.map { ts =>
-            (url, ts, h * 1000003L + ts)
-          }
+        else (0L to meta.durationMs by everyMs).iterator.map { ts =>
+          (url, ts, codec.frameHash(bytes, ts))
         }
       })
       .toDF("url", "frame_ms", "frame_hash")

@@ -197,10 +197,19 @@ object Similarity {
       .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
     var assigned = assign(centroids).localCheckpoint()
     for (_ <- 1 to iterations) {
-      // new centroid = elementwise mean of the list (id kept stable)
+      // new centroid = elementwise mean of the list (id kept stable).
+      // The sum runs in DECIMAL, not double: decimal addition is exact and
+      // associative, so the mean is bit-identical regardless of partial-
+      // aggregate merge order — double summation would drift with shuffle
+      // fetch order (nondeterministic run-to-run and cluster-size-
+      // dependent), which is what kept this query un-freezable. Range is
+      // safe: unit-scale embedding components over 10^12 rows stay within
+      // decimal(38,20).
       val means = assigned
         .select(col("centroid_id"), posexplode(col("vec")).as(Seq("dim", "x")))
-        .groupBy("centroid_id", "dim").agg(avg("x").as("m"))
+        .groupBy("centroid_id", "dim")
+        .agg((sum(col("x").cast("decimal(38,20)")) / count(lit(1)))
+          .cast("double").as("m"))
         .groupBy("centroid_id")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("centroid_id"), expr("transform(dm, p -> p.m)").as("cvec"))

@@ -511,12 +511,24 @@ object TopoPipeline {
     * arithmetic (E2). Driver-side over one row per object (tiny by
     * construction). Returns (objId, slice).
     */
+  /** Hard ceiling for the driver-side greedy slicer: one row per EXPORTED
+    * object is reference semantics (curated layers are 10³-10⁴ objects),
+    * but the loop is O(n²) — a misuse that feeds a planet-scale feature
+    * table must error loudly instead of spinning the driver silently.
+    */
+  val MaxSliceObjects = 100000
+
   def slices(objects: DataFrame, pointLimit: Int): Seq[(Long, Int)] = {
     // pointLimit <= 0 would spin the outer loop forever (the inner fill
     // loop never removes a center)
     require(pointLimit > 0, s"pointLimit must be positive, got $pointLimit")
     val spark = objects.sparkSession
     import spark.implicits._
+    val nObjs = objects.count()
+    require(nObjs <= MaxSliceObjects,
+      s"slices() is the reference's driver-side greedy O(n²) pass over one row per " +
+        s"exported object ($nObjs objects > $MaxSliceObjects): curate the layer or " +
+        "slice by tile instead (Tiling.assign)")
     val objs = objects.select(col("objId"), col("minx"), col("miny"),
       col("maxx"), col("maxy"), col("nPoints"))
       .as[(Long, Double, Double, Double, Double, Long)].collect()

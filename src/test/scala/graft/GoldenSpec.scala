@@ -23,7 +23,12 @@ class GoldenSpec extends SparkTestBase {
     "q_minhash_pairs" -> "7b29e23ff36a683e", // unchanged through the round-3 hash swap: same verified pair set
     "q_simhash_pairs" -> "99d0000cbd5f855d", // refrozen round 3: murmur token hash -> universal-hash bit votes (oracle-replicable); hamming values legitimately differ
     "q_fingerprints" -> "5e1c2eb202c03f2f", // refrozen round 2: gram hash murmur -> 31-polynomial (oracle-replicable)
-    "q_media_meta" -> "bffdc626e2f11dff")
+    "q_media_meta" -> "bffdc626e2f11dff",
+    // frozen round 4 (the one query that had no row-level evidence): Lloyd
+    // means now sum in DECIMAL (exact + associative → bit-identical under
+    // any partial-aggregate merge order); hash verified identical at
+    // local[4]/local[13]/local[32] before freezing (tools/DriveGolden)
+    "q_ann_ivf" -> "e456087bc611b889")
 
   def canonical(df: org.apache.spark.sql.DataFrame): String = {
     val rows = df.collect().map(_.toString).sorted

@@ -86,6 +86,23 @@ class PipelineSpec extends SparkTestBase {
     assert(a == b && a == c && a == d)
   }
 
+  test("partitioned strategy property: RANDOM joinLevel × salt all equal broadcast rows") {
+    // the descend/lift key derivation must be lossless at ANY join level
+    // (coarse cover cells descend 4^Δ, fine cells lift to their ancestor)
+    // and under ANY salt replication — seeded random draws beyond the two
+    // pinned levels above
+    val a = PipJoin.matches(pages, covers, polys)
+      .select("url", "layer", "relId").as[(String, String, Long)].collect().toSeq.sorted
+    val rnd = new scala.util.Random(9001)
+    for (_ <- 1 to 3) {
+      val jl = 4 + rnd.nextInt(9) // 4..12
+      val salt = 1 + rnd.nextInt(4)
+      val got = PipJoin.matchesPartitioned(pages, covers, polys, joinLevel = jl, salt = salt)
+        .as[(String, String, Long)].collect().toSeq.sorted
+      assert(got == a, s"joinLevel=$jl salt=$salt diverged from broadcast rows")
+    }
+  }
+
   test("hybrid strategy: forced split, all-broadcast and all-partitioned all equal broadcast rows") {
     val a = PipJoin.matches(pages, covers, polys)
       .select("url", "layer", "relId").as[(String, String, Long)].collect().toSeq.sorted

@@ -91,6 +91,31 @@ class TextOpsSpec extends SparkTestBase {
       .foreach(u => assert(kinds(u) == "video"))
   }
 
+  test("multimodal codec seam: an injected codec replaces the stub end-to-end") {
+    // a production build swaps StubCodec for a real decoder without
+    // touching the plumbing — this pins that every operator honors the
+    // injected implementation (and that it ships through task closures)
+    object FixedCodec extends Multimodal.MediaCodec {
+      def decode(url: String, bytes: Array[Byte]): Multimodal.MediaMeta =
+        Multimodal.MediaMeta(url, "video", bytes.length.toLong, 320, 240, 120000L)
+      def frameHash(bytes: Array[Byte], ts: Long): Long = 7L * ts
+      override def featurize(bytes: Array[Byte], dim: Int): Array[Float] =
+        Array.fill(dim)(1f / dim)
+    }
+    val pages = Fixtures.pages(spark, sf0001).limit(5).cache()
+    val meta = Multimodal.decodeMeta(pages, codec = FixedCodec)
+    assert(meta.select("kind").distinct().as[String].collect().toSeq == Seq("video"))
+    assert(meta.select("width", "height").distinct().as[(Int, Int)].head() == ((320, 240)))
+    val frames = Multimodal.sampleFrames(pages, codec = FixedCodec)
+    assert(frames.count() == 5 * 3) // 0, 60000, 120000 per page
+    frames.select("frame_ms", "frame_hash").as[(Long, Long)].collect()
+      .foreach { case (ts, h) => assert(h == 7L * ts) }
+    val feats = Multimodal.features(pages, dim = 4, codec = FixedCodec)
+      .select("features").as[Seq[Float]].collect()
+    feats.foreach(v => assert(v == Seq(0.25f, 0.25f, 0.25f, 0.25f)))
+    pages.unpersist()
+  }
+
   test("BPE-ish token count: crafted strings match hand counts") {
     // hand-derived against the GPT-2 pre-tokenization rules
     val cases = Seq(

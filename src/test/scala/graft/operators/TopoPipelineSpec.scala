@@ -175,6 +175,16 @@ class TopoPipelineSpec extends SparkTestBase {
     assert(Jts.fromWkb(viaJoin(4L)).getArea == 0.0, "feature fully underwater")
   }
 
+  test("greedy slicer rejects planet-scale object tables loudly (O(n²) guard)") {
+    val big = spark.range(TopoPipeline.MaxSliceObjects + 1L)
+      .selectExpr("id AS objId", "0.0 AS minx", "0.0 AS miny",
+        "1.0 AS maxx", "1.0 AS maxy", "10 AS nPoints")
+    val e = intercept[IllegalArgumentException] {
+      TopoPipeline.slices(big, pointLimit = 100)
+    }
+    assert(e.getMessage.contains("greedy"))
+  }
+
   test("greedy slicer reproduces reference arithmetic (phantom origin start)") {
     // three objects: centers per the bb[0]+bb[2]/2 quirk
     val objs = Seq(

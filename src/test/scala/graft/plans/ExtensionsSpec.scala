@@ -191,6 +191,29 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("PipJoinRewrite property: RANDOM bands all return the unbanded row set") {
+    // the single-band test above pins one band; this property draws seeded
+    // random bands (including degenerate lo==hi and coarse-only bands) and
+    // requires row identity for each — the clampCover descend/lift must be
+    // lossless for ANY band, not just [4,8]
+    Graft.install(spark)
+    val rnd = new scala.util.Random(4242)
+    val expected = bruteForce()
+    for (_ <- 1 to 4) {
+      val lo = rnd.nextInt(13)           // 0..12
+      val hi = lo + rnd.nextInt(23 - lo) // lo..22
+      spark.conf.set("graft.pip.minLevel", lo.toString)
+      spark.conf.set("graft.pip.maxLevel", hi.toString)
+      try {
+        val got = sqlJoin(spark).as[(String, String, Long)].collect().toSet
+        assert(got == expected, s"band [$lo,$hi] changed the row set")
+      } finally {
+        spark.conf.unset("graft.pip.minLevel")
+        spark.conf.unset("graft.pip.maxLevel")
+      }
+    }
+  }
+
   test("variadic ST functions reject wrong arity loudly at analysis time") {
     graft.functions.GeomExpressions.register(spark)
     Seq(

@@ -1215,24 +1215,37 @@ object SparkEntry {
       s"('$lang', [${words.toSeq.sorted.map(w => s"'$w'").mkString(", ")}])"
     }.mkString(",\n    ")
 
-  /** q_topo_objects oracle: nPoints and bbox re-derived by DuckDB from an
-    * arcs/uses export of the same topology build — "point counts through
-    * ^arc indirection are pure arithmetic". The export is generated at
-    * oracle-dump time (Verify runs with an active session; the
-    * topoCountries memo is already warm) and embedded as VALUES; the arc
-    * CONTENTS stay pinned independently by GoldenSpec (q_topo_arcs/
-    * q_topo_slices) and the reconstruction round-trip property, while
-    * this SQL independently recomputes the object-level aggregates the
-    * engine derives through the uses ⋈ arcLens ⋈ features joins:
+  /** Oracles re-derived by DuckDB from an arcs/uses export of the same
+    * topology build. The export is generated at oracle-dump time (Verify
+    * runs with an active session; the topoCountries memo is already warm)
+    * and embedded as VALUES; the arc CONTENTS stay pinned independently by
+    * GoldenSpec (q_topo_arcs) and the reconstruction round-trip property.
+    *
+    * q_topo_objects — "point counts through ^arc indirection are pure
+    * arithmetic": the SQL independently recomputes the object-level
+    * aggregates the engine derives through the uses ⋈ arcLens ⋈ features
+    * joins:
     *  - nPoints  = Σ over uses of the used arc's (simplified) point count;
     *  - bbox     = the envelope over the used arcs' points — which must
     *    equal the post-clip feature envelope the engine carries through
     *    `rebboxed` (a real cross-check: the extreme vertices survive both
     *    arc cutting and pinned-endpoint Douglas-Peucker).
+    *
+    * q_topo_slices — the greedy nearest-centroid slicer (export.go:59-98
+    * semantics incl. the (0,0)/centerCount=1 aggregated-center init and
+    * the bb[0]+bb[2]/2 "center" quirk) replayed move-for-move by a
+    * recursive CTE over the SAME export: centers and per-object point
+    * counts are re-derived from the arcs (not read from the engine), and
+    * each iteration picks argmin-distance via ORDER BY + LIMIT 1 with the
+    * Scala loop's exact tie rule (strict < keeps the earliest objId). The
+    * ordering key is the SQUARED equirectangular distance — sqrt and the
+    * earth-radius factor are monotone, so dropping them gives the same
+    * argmin without replicating their rounding.
+    *
     * Topology queries are sfDir-independent (fixture-driven), so one
     * embedded export is valid at every scale factor.
     */
-  private def topoObjectsOracle: Map[String, String] =
+  private def topoExportOracles: Map[String, String] =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
       case None => Map.empty // no session (plain JVM) → rows-only check
       case Some(spark) =>
@@ -1248,8 +1261,8 @@ object SparkEntry {
         val useRows = lr.topo.uses.select(col("objId"), col("arcId"))
           .as[(Long, Long)].collect().sorted
           .map { case (o, a) => s"($o, $a)" }.mkString(", ")
-        Map("q_topo_objects" ->
-          s"""WITH arcs AS (
+        val exportCtes =
+          s"""arcs AS (
              |  SELECT CAST(arc_id AS BIGINT) AS arc_id, CAST(len AS BIGINT) AS len,
              |         CAST(ax0 AS DOUBLE) AS ax0, CAST(ay0 AS DOUBLE) AS ay0,
              |         CAST(ax1 AS DOUBLE) AS ax1, CAST(ay1 AS DOUBLE) AS ay1
@@ -1257,12 +1270,50 @@ object SparkEntry {
              |    $arcRows
              |  ) AS t(arc_id, len, ax0, ay0, ax1, ay1)),
              |uses AS (SELECT CAST(obj_id AS BIGINT) AS obj_id, CAST(arc_id AS BIGINT) AS arc_id
-             |         FROM (VALUES $useRows) AS t(obj_id, arc_id))
-             |SELECT u.obj_id AS objId, CAST(sum(a.len) AS BIGINT) AS nPoints,
-             |       round(min(a.ax0), 6) AS minx, round(min(a.ay0), 6) AS miny,
-             |       round(max(a.ax1), 6) AS maxx, round(max(a.ay1), 6) AS maxy
-             |FROM uses u JOIN arcs a ON a.arc_id = u.arc_id
-             |GROUP BY u.obj_id""".stripMargin)
+             |         FROM (VALUES $useRows) AS t(obj_id, arc_id))""".stripMargin
+        // pointLimit must match topoCountries' Export.layer(pointLimit = 20)
+        val slicePointLimit = 20
+        Map(
+          "q_topo_objects" ->
+            s"""WITH $exportCtes
+               |SELECT u.obj_id AS objId, CAST(sum(a.len) AS BIGINT) AS nPoints,
+               |       round(min(a.ax0), 6) AS minx, round(min(a.ay0), 6) AS miny,
+               |       round(max(a.ax1), 6) AS maxx, round(max(a.ay1), 6) AS maxy
+               |FROM uses u JOIN arcs a ON a.arc_id = u.arc_id
+               |GROUP BY u.obj_id""".stripMargin,
+          "q_topo_slices" ->
+            s"""WITH RECURSIVE $exportCtes,
+               |objs AS (
+               |  SELECT u.obj_id, CAST(sum(a.len) AS BIGINT) AS n,
+               |         min(a.ax0) AS minx, min(a.ay0) AS miny,
+               |         max(a.ax1) AS maxx, max(a.ay1) AS maxy
+               |  FROM uses u JOIN arcs a ON a.arc_id = u.arc_id GROUP BY u.obj_id),
+               |centers AS (
+               |  SELECT obj_id, minx + maxx / 2 AS cx, miny + maxy / 2 AS cy, n FROM objs),
+               |cnt AS (SELECT count(*) AS c FROM centers),
+               |walk(k, picked, slc, slice, aggx, aggy, cc, pc) AS (
+               |  SELECT 0, CAST([] AS BIGINT[]), CAST([] AS INT[]), 0,
+               |         CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), 1, CAST(0 AS BIGINT)
+               |  UNION ALL
+               |  SELECT w.k + 1, list_append(w.picked, b.obj_id), list_append(w.slc, w.slice),
+               |         CASE WHEN w.pc + b.n >= $slicePointLimit THEN w.slice + 1 ELSE w.slice END,
+               |         CASE WHEN w.pc + b.n >= $slicePointLimit THEN 0.0 ELSE w.aggx + b.cx END,
+               |         CASE WHEN w.pc + b.n >= $slicePointLimit THEN 0.0 ELSE w.aggy + b.cy END,
+               |         CASE WHEN w.pc + b.n >= $slicePointLimit THEN 1 ELSE w.cc + 1 END,
+               |         CASE WHEN w.pc + b.n >= $slicePointLimit THEN CAST(0 AS BIGINT) ELSE w.pc + b.n END
+               |  FROM walk w, LATERAL (
+               |    SELECT c.obj_id, c.cx, c.cy, c.n
+               |    FROM centers c
+               |    WHERE NOT list_contains(w.picked, c.obj_id)
+               |    ORDER BY power(radians(c.cy - w.aggy / w.cc), 2)
+               |           + power(radians(c.cx - w.aggx / w.cc)
+               |                   * cos(radians((w.aggy / w.cc + c.cy) / 2)), 2) ASC,
+               |             c.obj_id ASC
+               |    LIMIT 1) b
+               |  WHERE w.k < (SELECT c FROM cnt)
+               |)
+               |SELECT unnest(picked) AS objId, unnest(slc) AS slice
+               |FROM walk WHERE k = (SELECT c FROM cnt)""".stripMargin)
     }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1270,5 +1321,5 @@ object SparkEntry {
     * ops → driver records the weaker rows-only check (those are covered by
     * golden ScalaTest suites instead).
     */
-  def oracleSql: Map[String, String] = sharedSql ++ duckOnlyOracle ++ topoObjectsOracle
+  def oracleSql: Map[String, String] = sharedSql ++ duckOnlyOracle ++ topoExportOracles
 }

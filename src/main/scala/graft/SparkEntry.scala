@@ -667,6 +667,9 @@ object SparkEntry {
     // vector→raster — independent SAT cell/polygon intersection over the
     // input rings + a recursive-CTE replay of the Hilbert cell id
     "q_raster_cells" -> rasterOracle,
+    // region coverer — the priority-refinement loop replayed pop-for-pop
+    // by a recursive CTE over the INPUT rings (see coverOracle)
+    "q_cell_covers" -> coverOracle,
 
     // cosine oracles carry the engine's zero-norm guard (cosine(0,·)=0.0,
     // never NaN): DuckDB's list_cosine_similarity yields NaN on a zero
@@ -1075,6 +1078,126 @@ object SparkEntry {
        |  WHERE w.k >= 0)
        |SELECT rel_id AS relId, layer, h * 2199023255552 + 1099511627776 AS cellId
        |FROM walk WHERE k = -1""".stripMargin
+  }
+
+  /** Independent region-coverer oracle (q_cell_covers): the
+    * priority-refinement loop (Coverer.cover — MinLevel 4 / MaxLevel 22 /
+    * MaxCells 8 with the reference's vertex-approximate predicates,
+    * lookup.go:176-181 + region.go:13-43) replayed POP-FOR-POP by a
+    * recursive CTE over the INPUT rings — nothing engine-derived is
+    * embedded.
+    *
+    *  - The queue's deterministic order (coarsest level, ties smallest id)
+    *    is `list_sort` over (lvl, h) structs — same-level ids are monotone
+    *    in Hilbert position, so (lvl, h) IS the engine's (level, id) order.
+    *  - Each iteration pops one cell per relation (relations advance in
+    *    lockstep; a finished relation's row simply stops recursing),
+    *    re-evaluating the engine's exact rules: terminal iff lvl ≥ 4 and
+    *    (lvl ≥ 22 or all 4 corners ray-cast inside the loop); otherwise
+    *    split iff lvl < 4 or |terminal| + |queue after pop| +
+    *    |intersecting children| ≤ 8, else keep as terminal (budget
+    *    exhausted) — the stateful budget arithmetic checked move-for-move.
+    *  - containsPoint is the engine's half-open ray cast replicated
+    *    IEEE-op-for-op ((x1-x2)·(py-y2)/(y1-y2)+x2 over the SAME
+    *    CCW-normalized deduped edges `edgeValues` emits — makeLoop's
+    *    reversal/dedup normalization produces exactly this edge set, and
+    *    the ray-cast crossing count is invariant to it); intersectsCell =
+    *    any cell corner inside OR any ring vertex within the closed cell
+    *    rectangle (region.go:34-41).
+    *  - Cells are tracked as (lvl, h, orientation, cx, cy) and children
+    *    derived incrementally through the SAME Hilbert state table the
+    *    raster oracle replays (h' = 4h + pos, grid coords 2c+{i,j}), so
+    *    the final id/range arithmetic (h << (2·(30−lvl)+1) | sentinel,
+    *    id ± (lsb−1)) is recomputed from first principles.
+    *
+    * Covers only outer rings (lookup.go:187); degenerate rings are absent
+    * from oracleDims by construction (995 excluded).
+    */
+  private def coverOracle: String = {
+    // ray-cast parity for point (px,py) against the relation's outer edges;
+    // bound to the walk row's rel via w.rel_id
+    def inside(px: String, py: String, rel: String = "w.rel_id"): String =
+      s"""((SELECT count(*) FROM edges e WHERE e.rel_id = $rel
+         |      AND ((e.y2 > $py) <> (e.y1 > $py))
+         |      AND $px < (e.x1 - e.x2) * ($py - e.y2) / (e.y1 - e.y2) + e.x2) % 2 = 1)""".stripMargin
+    // parent corner coords at level lvl (grid n = 2^lvl); IEEE order matches
+    // Cell.bounds: x / n * 360 - 180
+    def pc(expr: String, span: String, off: String, lvlShift: String): String =
+      s"(CAST($expr AS DOUBLE) / CAST(CAST(1 AS BIGINT) << $lvlShift AS DOUBLE) * $span - $off)"
+    val px0 = pc("q.p.cx", "360.0", "180.0", "q.p.lvl")
+    val px1 = pc("q.p.cx + 1", "360.0", "180.0", "q.p.lvl")
+    val py0 = pc("q.p.cy", "180.0", "90.0", "q.p.lvl")
+    val py1 = pc("q.p.cy + 1", "180.0", "90.0", "q.p.lvl")
+    val kx0 = pc("2 * q.p.cx + st.i", "360.0", "180.0", "(q.p.lvl + 1)")
+    val kx1 = pc("2 * q.p.cx + st.i + 1", "360.0", "180.0", "(q.p.lvl + 1)")
+    val ky0 = pc("2 * q.p.cy + st.j", "180.0", "90.0", "(q.p.lvl + 1)")
+    val ky1 = pc("2 * q.p.cy + st.j + 1", "180.0", "90.0", "(q.p.lvl + 1)")
+    val containsCell = Seq((px0, py0), (px1, py0), (px1, py1), (px0, py1))
+      .map { case (x, y) => inside(x, y) }.mkString("\n      AND ")
+    val kidCornerIn = Seq((kx0, ky0), (kx1, ky0), (kx1, ky1), (kx0, ky1))
+      .map { case (x, y) => inside(x, y) }.mkString("\n       OR ")
+    val kidVertIn =
+      s"""EXISTS (SELECT 1 FROM verts v WHERE v.rel_id = w.rel_id
+         |        AND v.vx >= $kx0 AND v.vx <= $kx1 AND v.vy >= $ky0 AND v.vy <= $ky1)""".stripMargin
+    val worldInt = ("EXISTS (SELECT 1 FROM verts v WHERE v.rel_id = r.rel_id AND " +
+      "v.vx >= -180.0 AND v.vx <= 180.0 AND v.vy >= -90.0 AND v.vy <= 90.0)") +
+      Seq(("-180.0", "-90.0"), ("180.0", "-90.0"), ("180.0", "90.0"), ("-180.0", "90.0"))
+        .map { case (x, y) => "\n       OR " + inside(x, y, rel = "r.rel_id") }.mkString
+    val stRows = graft.cells.Cell.hilbertStateRows
+      .map { case (o, i, j, pos, no) => s"($o, $i, $j, $pos, $no)" }.mkString(", ")
+    val emptyActive = "CAST([] AS STRUCT(lvl INTEGER, h BIGINT, o INTEGER, cx BIGINT, cy BIGINT)[])"
+    val budgetOk = "q.p.lvl < 4 OR len(w.term) + len(q.rest) + coalesce(len(c.kids), 0) <= 8"
+    s"""WITH RECURSIVE
+       |edges AS (SELECT layer, CAST(rel_id AS BIGINT) AS rel_id,
+       |                 CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1,
+       |                 CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2
+       |          FROM (VALUES
+       |    $polygonEdgeValues
+       |  ) AS t(layer, rel_id, role, ring, x1, y1, x2, y2)
+       |  WHERE role = 'outer'),
+       |st AS (SELECT * FROM (VALUES $stRows) AS t(o, i, j, pos, no)),
+       |rels AS (SELECT DISTINCT layer, rel_id FROM edges),
+       |verts AS (SELECT DISTINCT rel_id, x1 AS vx, y1 AS vy FROM edges),
+       |init AS (
+       |  SELECT r.layer, r.rel_id,
+       |    CASE WHEN $worldInt
+       |      THEN [STRUCT_PACK(lvl := 0, h := CAST(0 AS BIGINT), o := 0,
+       |                        cx := CAST(0 AS BIGINT), cy := CAST(0 AS BIGINT))]
+       |      ELSE $emptyActive END AS active,
+       |    CAST([] AS STRUCT(lvl INTEGER, h BIGINT)[]) AS term
+       |  FROM rels r),
+       |walk(layer, rel_id, active, term) AS (
+       |  SELECT layer, rel_id, active, term FROM init
+       |  UNION ALL
+       |  SELECT w.layer, w.rel_id, s.active2, s.term2
+       |  FROM walk w,
+       |  LATERAL (SELECT list_sort(w.active)[1] AS p,
+       |                  array_slice(list_sort(w.active), 2, len(w.active)) AS rest) q,
+       |  LATERAL (
+       |    SELECT
+       |      (q.p.lvl >= 4 AND (q.p.lvl >= 22 OR ($containsCell))) AS is_term,
+       |      (SELECT list(STRUCT_PACK(lvl := q.p.lvl + 1, h := q.p.h * 4 + st.pos, o := st.no,
+       |                               cx := 2 * q.p.cx + st.i, cy := 2 * q.p.cy + st.j) ORDER BY st.pos)
+       |       FROM st WHERE st.o = q.p.o AND (($kidCornerIn) OR $kidVertIn)) AS kids
+       |  ) c,
+       |  LATERAL (
+       |    SELECT
+       |      CASE WHEN c.is_term THEN q.rest
+       |           WHEN $budgetOk
+       |             THEN list_concat(q.rest, coalesce(c.kids, $emptyActive))
+       |           ELSE q.rest END AS active2,
+       |      CASE WHEN c.is_term OR NOT ($budgetOk)
+       |           THEN list_append(w.term, STRUCT_PACK(lvl := q.p.lvl, h := q.p.h))
+       |           ELSE w.term END AS term2
+       |  ) s
+       |  WHERE len(w.active) > 0
+       |),
+       |done AS (SELECT layer, rel_id, unnest(term) AS t FROM walk WHERE len(active) = 0)
+       |SELECT rel_id AS relId, layer,
+       |       (t.h << (2 * (30 - t.lvl) + 1)) | (CAST(1 AS BIGINT) << (2 * (30 - t.lvl))) AS cellId,
+       |       ((t.h << (2 * (30 - t.lvl) + 1)) | (CAST(1 AS BIGINT) << (2 * (30 - t.lvl)))) - (CAST(1 AS BIGINT) << (2 * (30 - t.lvl))) + 1 AS cellMin,
+       |       ((t.h << (2 * (30 - t.lvl) + 1)) | (CAST(1 AS BIGINT) << (2 * (30 - t.lvl)))) + (CAST(1 AS BIGINT) << (2 * (30 - t.lvl))) - 1 AS cellMax
+       |FROM done""".stripMargin
   }
 
   // ---- sketch oracles: the SQL-replicable hash families ------------------

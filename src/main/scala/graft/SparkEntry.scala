@@ -585,10 +585,18 @@ object SparkEntry {
       // E7: expanding-ring kNN
       "q_knn" -> ((s, dir) => {
         val pages = Fixtures.pages(s, dir)
-        val qs = Seq(0L, 1L, 2L, 3L, 4L).map { i =>
-          Knn.Query(s"q$i", Fixtures.cities(i.toInt)._2, Fixtures.cities(i.toInt)._3)
-        }
-        Knn.knn(pages, qs, k = 5)
+        Knn.knn(pages, knnQueries, k = 5)
+          .select(col("queryId").as("query_id"), col("rank").cast("long").as("rank"),
+            col("url"), round(col("dist"), 3).as("dist"))
+      }),
+      // E7 at planet scale: same search over the partition-pruned parquet
+      // index (writeIndexed) — each round reads only frontier directories,
+      // never the whole table; same oracle as q_knn (rows must be identical)
+      "q_knn_pruned" -> ((s, dir) => {
+        val path = knnIndexPath(dir)
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+          Knn.writeIndexed(Fixtures.pages(s, dir), path)
+        Knn.knnIndexed(s, path, knnQueries, k = 5)
           .select(col("queryId").as("query_id"), col("rank").cast("long").as("rank"),
             col("url"), round(col("dist"), 3).as("dist"))
       }),
@@ -757,23 +765,12 @@ object SparkEntry {
          |WHERE r.doc_id IS NULL OR s.layer <> 'cities' OR s.admin_level IN (6)""".stripMargin,
 
     // kNN: brute-force geodesic top-k with the engine's exact
-    // equirectangular formula (Algorithms.geoDistance), ties by url.
-    "q_knn" ->
-      s"""WITH pages AS (${Fixtures.pagesCte}),
-         |qs AS (SELECT query_id, CAST(qlon AS DOUBLE) AS qlon, CAST(qlat AS DOUBLE) AS qlat
-         |       FROM (VALUES $knnQueryValues) AS t(query_id, qlon, qlat)),
-         |parts AS (
-         |  SELECT q.query_id, p.url,
-         |         radians(p.lat - q.qlat) AS dlat,
-         |         radians(p.lon - q.qlon) * cos(radians((q.qlat + p.lat) / 2)) AS x
-         |  FROM qs q CROSS JOIN pages p),
-         |ranked AS (
-         |  SELECT query_id, url, sqrt(dlat * dlat + x * x) * 6378137 AS dist,
-         |         row_number() OVER (PARTITION BY query_id
-         |                            ORDER BY sqrt(dlat * dlat + x * x) * 6378137, url) AS rnk
-         |  FROM parts)
-         |SELECT query_id, CAST(rnk AS BIGINT) AS rank, url, round(dist, 3) AS dist
-         |FROM ranked WHERE rnk <= 5""".stripMargin,
+    // equirectangular formula (Algorithms.geoDistance), ties by url. The
+    // same oracle checks BOTH candidate sources: the cached expanding-ring
+    // search and the partition-pruned parquet-index variant must return
+    // identical rows.
+    "q_knn" -> knnOracle,
+    "q_knn_pruned" -> knnOracle,
 
     // Token counting: the whitespace tokenizer shared with langId, plus the
     // BPE-ish GPT-2 pre-tokenization count. RE2 has no lookahead, so the
@@ -1080,6 +1077,24 @@ object SparkEntry {
        |FROM walk WHERE k = -1""".stripMargin
   }
 
+  /** Shared brute-force geodesic top-k oracle for q_knn / q_knn_pruned. */
+  private def knnOracle: String =
+    s"""WITH pages AS (${Fixtures.pagesCte}),
+       |qs AS (SELECT query_id, CAST(qlon AS DOUBLE) AS qlon, CAST(qlat AS DOUBLE) AS qlat
+       |       FROM (VALUES $knnQueryValues) AS t(query_id, qlon, qlat)),
+       |parts AS (
+       |  SELECT q.query_id, p.url,
+       |         radians(p.lat - q.qlat) AS dlat,
+       |         radians(p.lon - q.qlon) * cos(radians((q.qlat + p.lat) / 2)) AS x
+       |  FROM qs q CROSS JOIN pages p),
+       |ranked AS (
+       |  SELECT query_id, url, sqrt(dlat * dlat + x * x) * 6378137 AS dist,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY sqrt(dlat * dlat + x * x) * 6378137, url) AS rnk
+       |  FROM parts)
+       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, url, round(dist, 3) AS dist
+       |FROM ranked WHERE rnk <= 5""".stripMargin
+
   /** Independent region-coverer oracle (q_cell_covers): the
     * priority-refinement loop (Coverer.cover — MinLevel 4 / MaxLevel 22 /
     * MaxCells 8 with the reference's vertex-approximate predicates,
@@ -1332,6 +1347,20 @@ object SparkEntry {
       val (_, cx, cy) = Fixtures.cities(i)
       s"('q$i', ${fmt6(cx)}, ${fmt6(cy)})"
     }.mkString(", ")
+
+  /** The five fixture-city query points shared by q_knn / q_knn_pruned. */
+  private def knnQueries: Seq[operators.Knn.Query] =
+    Seq(0, 1, 2, 3, 4).map { i =>
+      val (_, cx, cy) = Fixtures.cities(i)
+      operators.Knn.Query(s"q$i", cx, cy)
+    }
+
+  /** Deterministic scratch path for the q_knn_pruned parquet index, keyed
+    * by sf dir (gated on _SUCCESS so a killed writer never leaves a
+    * silently-partial index behind).
+    */
+  private def knnIndexPath(sfDir: String): String =
+    s"/tmp/graft_knn_idx_${sfDir.replaceAll("[^a-z0-9.]", "_")}"
 
   private def langProfileValues: String =
     operators.TextOps.langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>

@@ -11,13 +11,20 @@ import graft.functions.GeomExpressions._
   * required by the north rule). For a small set of query points, iterate
   * rings of cells at a fixed index level around each query: candidates
   * come from a broadcast equi-join of the cell-indexed page table against
-  * the frontier cells (the join filters to frontier pages; the scan
-  * itself is per-round — cache absorbs it here, and a planet-scale
-  * deployment would pre-partition the table by cellId, see
-  * `Tiling.spatialRepartition`, so the equi-join prunes at the source).
-  * The loop stops once every query's k-th best distance is provably
-  * closer than anything a further ring could hold (ring r's nearest
-  * possible point is ≥ (r-1) cell-heights away).
+  * the frontier cells. The loop stops once every query's k-th best
+  * distance is provably closer than anything a further ring could hold
+  * (ring r's nearest possible point is ≥ (r-1) cell-heights away).
+  *
+  * Two candidate sources share one search loop:
+  *  - [[knn]] — an in-memory cell-indexed cache of the page table; the
+  *    frontier join filters rows but every round re-scans the cached
+  *    table (fine when the table fits the cluster's cache);
+  *  - [[knnIndexed]] — a parquet table written by [[writeIndexed]],
+  *    hive-partitioned by the coarse parent cell and cellId-sorted within
+  *    files, so each round's read PRUNES whole partition directories
+  *    (PartitionFilters on the parent cell) and row-groups (cellId
+  *    min/max) instead of re-scanning: the planet-scale shape where the
+  *    page table is far bigger than cache.
   *
   * Deterministic: ties broken by url.
   */
@@ -34,12 +41,64 @@ object Knn {
   def knn(pages: DataFrame, queries: Seq[Query], k: Int, level: Int = 8,
           maxRounds: Int = -1): DataFrame = {
     val spark = pages.sparkSession
-    import spark.implicits._
-
     val indexed = pages
       .withColumn("cellId", st_cell_at(col("lon"), col("lat"), level))
       .select("url", "lon", "lat", "cellId")
       .cache() // one materialization feeds every round's frontier join
+    try
+      search(spark, queries, k, level, maxRounds,
+        (probes, _) => indexed.join(broadcast(probes), Seq("cellId")))
+    finally indexed.unpersist() // result rides checkpointed best-k, not `indexed`
+  }
+
+  /** Write the cell-indexed page table for [[knnIndexed]]: hive-partitioned
+    * by the level-`partitionLevel` parent cell (`pcell`), cellId-sorted
+    * within partitions so parquet row-group min/max stats stay tight. One
+    * shuffle; rewriting is only needed when the page table changes.
+    */
+  def writeIndexed(pages: DataFrame, path: String, level: Int = 8,
+                   partitionLevel: Int = 4): Unit = {
+    require(partitionLevel <= level,
+      s"partitionLevel $partitionLevel must be <= index level $level")
+    pages
+      .withColumn("cellId", st_cell_at(col("lon"), col("lat"), level))
+      // cellAt truncates the same leaf coordinates, so the level-P cell of
+      // (lon, lat) IS the level-P ancestor of the level-L cell
+      .withColumn("pcell", st_cell_at(col("lon"), col("lat"), partitionLevel))
+      .select("url", "lon", "lat", "cellId", "pcell")
+      .repartition(col("pcell"))
+      .sortWithinPartitions(col("pcell"), col("cellId"))
+      .write.mode("overwrite").partitionBy("pcell").parquet(path)
+  }
+
+  /** kNN over a [[writeIndexed]] table: identical results to [[knn]]
+    * (shared loop), but each round reads ONLY the partition directories
+    * whose coarse cell is an ancestor of a frontier cell — the per-round
+    * scan is proportional to the frontier, not the table. This is the
+    * shape that holds when the page table is planet-scale: no cache big
+    * enough to absorb it, no full scan per ring.
+    */
+  def knnIndexed(spark: SparkSession, path: String, queries: Seq[Query], k: Int,
+                 level: Int = 8, partitionLevel: Int = 4,
+                 maxRounds: Int = -1): DataFrame = {
+    require(partitionLevel <= level,
+      s"partitionLevel $partitionLevel must be <= index level $level")
+    search(spark, queries, k, level, maxRounds, (probes, cells) => {
+      val parents = cells.map(Cell.parent(_, partitionLevel)).distinct
+      spark.read.parquet(path)
+        .filter(col("pcell").isin(parents: _*)) // directory-level pruning
+        .join(broadcast(probes), Seq("cellId"))
+    })
+  }
+
+  /** The shared expanding-ring loop. `candFor(probesDf, probeCells)` must
+    * return the pages joined to the frontier probes — columns (queryId,
+    * qlon, qlat, url, lon, lat) — from whichever source it owns.
+    */
+  private def search(spark: SparkSession, queries: Seq[Query], k: Int, level: Int,
+                     maxRounds: Int,
+                     candFor: (DataFrame, Seq[Long]) => DataFrame): DataFrame = {
+    import spark.implicits._
 
     // meters per cell-height at this level (latitude degrees are uniform on
     // the equirectangular grid; conservative lower bound for ring pruning)
@@ -68,8 +127,7 @@ object Knn {
       }
       if (probeCells.nonEmpty) {
         val probesDf = probeCells.toDF("queryId", "qlon", "qlat", "cellId")
-        val cand = indexed
-          .join(broadcast(probesDf), Seq("cellId"))
+        val cand = candFor(probesDf, probeCells.map(_._4))
           .withColumn("dist", st_geo_distance(col("qlon"), col("qlat"), col("lon"), col("lat")))
           .select("queryId", "url", "dist")
         // fold the new ring's candidates into the running best-k and
@@ -114,7 +172,6 @@ object Knn {
       }
       round += 1
     }
-    indexed.unpersist()
     if (done.size < queries.size)
       throw new IllegalStateException(
         s"knn: ${queries.size - done.size} queries unfinished after $roundBudget rounds — " +

@@ -265,6 +265,26 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("kNN over the partition-pruned parquet index equals the cached search") {
+    val path = java.nio.file.Files.createTempDirectory("knn_idx").toString
+    Knn.writeIndexed(pages, path)
+    val qs = Seq(Knn.Query("q0", 4.35, 50.85), Knn.Query("far", -170.0, -80.0))
+    val a = Knn.knn(pages, qs, k = 5)
+      .select("queryId", "rank", "url").as[(String, Long, String)].collect().toSet
+    val b = Knn.knnIndexed(spark, path, qs, k = 5)
+      .select("queryId", "rank", "url").as[(String, Long, String)].collect().toSet
+    assert(a == b && a.nonEmpty)
+    // the per-round read prunes partition DIRECTORIES: the parent-cell
+    // filter must land in the scan's PartitionFilters, not a post-scan
+    // Filter — this is what bounds a round's IO at planet scale
+    val parent = graft.cells.Cell.cellAt(4.35, 50.85, 4)
+    val plan = spark.read.parquet(path).filter($"pcell".isin(parent))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("pcell"))
+    assert(!plan.replaceAll("(?s)PartitionFilters.*", "").contains("Filter ("),
+      s"pcell filter did not push into the scan:\n$plan")
+  }
+
   test("entry returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

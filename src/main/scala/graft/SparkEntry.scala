@@ -678,6 +678,9 @@ object SparkEntry {
     // region coverer — the priority-refinement loop replayed pop-for-pop
     // by a recursive CTE over the INPUT rings (see coverOracle)
     "q_cell_covers" -> coverOracle,
+    // water import — Visvalingam replayed removal-for-removal over the
+    // INPUT shapefile parts, then shoelace classify + area (see waterOracle)
+    "q_water" -> waterOracle,
 
     // cosine oracles carry the engine's zero-norm guard (cosine(0,·)=0.0,
     // never NaN): DuckDB's list_cosine_similarity yields NaN on a zero
@@ -1075,6 +1078,81 @@ object SparkEntry {
        |  WHERE w.k >= 0)
        |SELECT rel_id AS relId, layer, h * 2199023255552 + 1099511627776 AS cellId
        |FROM walk WHERE k = -1""".stripMargin
+  }
+
+  /** Independent water-import oracle (q_water): the S5/G7 pipeline
+    * (Ingest.waterPolygons — per-part Visvalingam(1e-5), |area| < 1e-5
+    * drop, shoelace-sign outer/inner classification, assembly, buffer(0),
+    * water.go:146-233) recomputed by DuckDB from the INPUT shapefile
+    * parts:
+    *
+    *  - Visvalingam-Whyatt is replayed REMOVAL-FOR-REMOVAL by a recursive
+    *    CTE: each iteration recomputes every interior point's fresh
+    *    effective triangle area (the same |ax(by−cy)+bx(cy−ay)+cx(ay−by)|/2
+    *    IEEE expression) and removes the global minimum below threshold,
+    *    ties by smallest original index — exactly the engine's
+    *    lazy-deletion heap semantics (stale entries re-pushed with fresh
+    *    areas pop after the true minimum, so the heap also removes the
+    *    global fresh min each step);
+    *  - classification/drop reuse the engine's shoelace
+    *    (Σ(x₂−x₁)(y₂+y₁)/2; ≥ 0 ⇒ outer per the shapefile convention);
+    *  - the final area is Σ|outer| − Σ|inner| — equal to JTS getArea of
+    *    the assembled polygon whenever every surviving inner lies inside
+    *    an outer (what ring classification means for water data; the
+    *    engine's buffer(0) is an area no-op on valid assembly), with
+    *    round(9) absorbing summation-order noise (≤1e-13 at these
+    *    magnitudes).
+    */
+  private def waterOracle: String = {
+    def d(v: Double): String = java.lang.Double.toString(v)
+    val rows = Fixtures.osm._4.flatMap { w =>
+      w.rings.zipWithIndex.flatMap { case (part, pi) =>
+        part.zipWithIndex.map { case ((x, y), j) => s"(${w.id}, $pi, ${j + 1}, ${d(x)}, ${d(y)})" }
+      }
+    }.mkString(",\n    ")
+    val maxN = Fixtures.osm._4.flatMap(_.rings.map(_.length)).max
+    s"""WITH RECURSIVE
+       |wpts AS (SELECT CAST(id AS BIGINT) AS id, part, idx,
+       |                CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+       |         FROM (VALUES
+       |    $rows
+       |  ) AS t(id, part, idx, x, y)),
+       |ks AS (SELECT unnest(generate_series(1, $maxN)) AS k),
+       |parts AS (SELECT id, part, list(idx ORDER BY idx) AS alive0
+       |          FROM wpts GROUP BY id, part HAVING count(*) >= 3),
+       |vw(id, part, alive, done) AS (
+       |  SELECT id, part, alive0, FALSE FROM parts
+       |  UNION ALL
+       |  SELECT w.id, w.part,
+       |         CASE WHEN m.area IS NOT NULL AND m.area < 1e-5 AND len(w.alive) > 2
+       |              THEN list_concat(w.alive[1:m.k-1], w.alive[m.k+1:len(w.alive)])
+       |              ELSE w.alive END,
+       |         NOT (m.area IS NOT NULL AND m.area < 1e-5 AND len(w.alive) > 2)
+       |  FROM vw w LEFT JOIN LATERAL (
+       |    SELECT p.k, p.area FROM (
+       |      SELECT g.k,
+       |        abs((pa.x * (pb.y - pc.y) + pb.x * (pc.y - pa.y) + pc.x * (pa.y - pb.y)) / 2.0) AS area
+       |      FROM ks g
+       |      JOIN wpts pa ON g.k >= 2 AND g.k <= len(w.alive) - 1
+       |        AND pa.id = w.id AND pa.part = w.part AND pa.idx = w.alive[g.k - 1]
+       |      JOIN wpts pb ON pb.id = w.id AND pb.part = w.part AND pb.idx = w.alive[g.k]
+       |      JOIN wpts pc ON pc.id = w.id AND pc.part = w.part AND pc.idx = w.alive[g.k + 1]
+       |    ) p ORDER BY p.area ASC, w.alive[p.k] ASC LIMIT 1
+       |  ) m ON TRUE
+       |  WHERE NOT w.done),
+       |simplified AS (SELECT id, part, alive FROM vw WHERE done),
+       |ring_pts AS (
+       |  SELECT s.id, s.part, g.k AS pos, p.x, p.y, len(s.alive) AS n
+       |  FROM simplified s JOIN ks g ON g.k <= len(s.alive)
+       |  JOIN wpts p ON p.id = s.id AND p.part = s.part AND p.idx = s.alive[g.k]),
+       |rarea AS (
+       |  SELECT a.id, a.part, sum((b.x - a.x) * (b.y + a.y)) / 2 AS ra
+       |  FROM ring_pts a JOIN ring_pts b
+       |    ON b.id = a.id AND b.part = a.part AND b.pos = (a.pos % a.n) + 1
+       |  GROUP BY a.id, a.part)
+       |SELECT id, round(sum(CASE WHEN ra >= 0 THEN abs(ra) ELSE -abs(ra) END), 9) AS area
+       |FROM rarea WHERE abs(ra) >= 1e-5
+       |GROUP BY id HAVING bool_or(ra >= 0)""".stripMargin
   }
 
   /** Shared brute-force geodesic top-k oracle for q_knn / q_knn_pruned. */

@@ -681,6 +681,9 @@ object SparkEntry {
     // water import — Visvalingam replayed removal-for-removal over the
     // INPUT shapefile parts, then shoelace classify + area (see waterOracle)
     "q_water" -> waterOracle,
+    // IVF ANN — the full index build (seeded init + 2 Lloyd rounds with
+    // DECIMAL-exact means) and probe replayed in SQL (see ivfOracle)
+    "q_ann_ivf" -> ivfOracle,
 
     // cosine oracles carry the engine's zero-norm guard (cosine(0,·)=0.0,
     // never NaN): DuckDB's list_cosine_similarity yields NaN on a zero
@@ -1078,6 +1081,91 @@ object SparkEntry {
        |  WHERE w.k >= 0)
        |SELECT rel_id AS relId, layer, h * 2199023255552 + 1099511627776 AS cellId
        |FROM walk WHERE k = -1""".stripMargin
+  }
+
+  /** Independent IVF-ANN oracle (q_ann_ivf): the ENTIRE
+    * Similarity.ivfTopK chain — seeded init (lowest-√n vec_ids), two
+    * Lloyd rounds, nProbe=4 probe, exact re-rank — recomputed by DuckDB
+    * from the embeddings table. This was unreachable while Lloyd means
+    * were double `avg` (shuffle-order-dependent); the round-4 switch to
+    * DECIMAL-exact sums made the index a pure function of the data that a
+    * second engine can replay:
+    *
+    *  - assignment argmax is the engine's lexicographic struct max over
+    *    (csim, -centroid_id) — same struct-comparison semantics in DuckDB;
+    *  - means replicate Spark's decimal path: the double→DECIMAL(38,20)
+    *    cast goes through the SHORTEST string representation in both
+    *    engines (Spark's Cast uses BigDecimal.valueOf(Double.toString);
+    *    DuckDB's VARCHAR cast prints the same shortest repr), the sum is
+    *    exact, and the divide-then-cast-to-double agrees at these
+    *    magnitudes (verified row-identical at sf0.001/0.01/0.1);
+    *  - cosine is dot/(|a||b|) with the engine's zero-norm guard; the
+    *    final cos rounds to 6, and candidate-set identity (not just
+    *    rounded ranks) is what the row hash pins.
+    *
+    * Iterations are unrolled literally (the engine default is 2); if
+    * `ivfIndex`'s default ever changes this generator must follow.
+    */
+  private def ivfOracle: String = {
+    def assign(cents: String, out: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, vec, nrm, -(best.nid) AS centroid_id
+         |  FROM (
+         |    SELECT e.vec_id, any_value(e.vec) AS vec, any_value(e.nrm) AS nrm,
+         |           max({'csim': CASE WHEN e.nrm = 0 OR c.cnrm = 0 THEN 0.0
+         |                    ELSE list_dot_product(e.vec, c.cvec) / (e.nrm * c.cnrm) END,
+         |                 'nid': -c.centroid_id}) AS best
+         |    FROM emb e CROSS JOIN $cents c
+         |    GROUP BY e.vec_id))""".stripMargin
+    def means(a: String, out: String): String =
+      s"""$out AS (
+         |  SELECT centroid_id,
+         |         list_transform(list_sort(list_zip(list(dim), list(m))), p -> p[2]) AS cvec
+         |  FROM (
+         |    SELECT centroid_id, dim,
+         |           CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,20))) / count(*) AS DOUBLE) AS m
+         |    FROM (SELECT centroid_id, unnest(generate_series(1, len(vec))) AS dim,
+         |                 unnest(vec) AS x
+         |          FROM $a)
+         |    GROUP BY centroid_id, dim)
+         |  GROUP BY centroid_id),
+         |${out}n AS (SELECT centroid_id, cvec,
+         |            sqrt(list_sum(list_transform(cvec, v -> v * v))) AS cnrm FROM $out)""".stripMargin
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+       |         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), v -> v * v))) AS nrm
+       |  FROM embeddings),
+       |kk AS (SELECT greatest(16, CAST(floor(sqrt(count(*))) AS INT)) AS k FROM emb),
+       |c0 AS (SELECT vec_id AS centroid_id, vec AS cvec,
+       |              sqrt(list_sum(list_transform(vec, v -> v * v))) AS cnrm
+       |       FROM (SELECT * FROM emb ORDER BY vec_id LIMIT (SELECT k FROM kk))),
+       |${assign("c0", "a0")},
+       |${means("a0", "c1")},
+       |${assign("c1n", "a1")},
+       |${means("a1", "c2")},
+       |${assign("c2n", "a2")},
+       |qs AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm FROM a2 WHERE vec_id BETWEEN 0 AND 9),
+       |probed AS (
+       |  SELECT query_id, qvec, qnrm, centroid_id
+       |  FROM (
+       |    SELECT q.query_id, q.qvec, q.qnrm, c.centroid_id,
+       |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |             (CASE WHEN q.qnrm = 0 OR c.cnrm = 0 THEN 0.0
+       |                   ELSE list_dot_product(q.qvec, c.cvec) / (q.qnrm * c.cnrm) END) DESC,
+       |             c.centroid_id) AS rn
+       |    FROM qs q CROSS JOIN c2n c)
+       |  WHERE rn <= 4),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id,
+       |         round(CASE WHEN p.qnrm = 0 OR a.nrm = 0 THEN 0.0
+       |               ELSE list_dot_product(p.qvec, a.vec) / (p.qnrm * a.nrm) END, 6) AS cos
+       |  FROM probed p JOIN a2 a ON a.centroid_id = p.centroid_id
+       |  WHERE a.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cos,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM cand)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cos FROM ranked WHERE rank <= 5""".stripMargin
   }
 
   /** Independent water-import oracle (q_water): the S5/G7 pipeline

@@ -387,6 +387,7 @@ object SparkEntry {
   private val clustersCache = new java.util.WeakHashMap[SparkSession, (String, DataFrame)]()
   private val pairsCache = new java.util.WeakHashMap[SparkSession, (String, DataFrame)]()
   private val topoCache = new java.util.WeakHashMap[SparkSession, Export.LayerResult]()
+  private val rawTopoCache = new java.util.WeakHashMap[SparkSession, operators.TopoPipeline.Topology]()
 
   private def evictOthers[V](m: java.util.WeakHashMap[SparkSession, V],
                              current: SparkSession)(release: V => Unit): Unit =
@@ -443,6 +444,27 @@ object SparkEntry {
     }
     v
   }
+
+  /** Raw topology over the split-octagon fixture (no clip, no simplify,
+    * no quantize): every arc vertex is an INPUT coordinate, which is what
+    * lets q_topo_arcs_raw carry a fully independent DuckDB oracle for the
+    * junction-cut + shared-arc-dedup core (the clipped q_topo_arcs keeps
+    * its goldens — JTS overlay coordinates are not SQL-replicable).
+    */
+  private def rawTopo(spark: SparkSession): operators.TopoPipeline.Topology =
+    rawTopoCache.synchronized {
+      var v = rawTopoCache.get(spark)
+      if (v == null) {
+        v = operators.TopoPipeline.topology(
+          Fixtures.splitOctagonsDf(spark), simplifyDigits = 0, quantize = 0)
+        v = v.copy(arcs = v.arcs.cache(), uses = v.uses.cache())
+        evictOthers(rawTopoCache, spark) { t =>
+          t.release(); t.arcs.unpersist(); t.uses.unpersist()
+        }
+        rawTopoCache.put(spark, v)
+      }
+      v
+    }
 
   /** Jaccard pairs + near-dup clustering memoized per (session, sfDir) —
     * q_jaccard_pairs, q_dedup_clusters and q_dedup_canonical share one
@@ -623,6 +645,22 @@ object SparkEntry {
           .map { case (id, q) => (id, q.length, q.map(p => p._1.toLong + p._2).sum) }
           .toDF("arcId", "n_pts", "delta_sum")
       }),
+      // raw topology (no clip/simplify/quantize) over the split-octagon
+      // fixture: junction cutting + shared-arc dedup with every vertex an
+      // input coordinate — fully SQL-oracled (see rawTopoOracle)
+      "q_topo_arcs_raw" -> ((s, _) => {
+        import s.implicits._
+        val topo = rawTopo(s)
+        val nUses = topo.uses.groupBy("arcId").agg(count(lit(1)).as("n_uses"))
+        topo.arcs.select(col("arcId"), col("pts"))
+          .as[(Long, Seq[(Double, Double)])]
+          .map { case (id, pts) =>
+            (id, pts.length.toLong, pts.map(_._1).min, pts.map(_._2).min,
+              pts.map(_._1).max, pts.map(_._2).max)
+          }
+          .toDF("arcId", "n_pts", "minx", "miny", "maxx", "maxy")
+          .join(nUses, Seq("arcId"))
+      }),
       "q_topo_objects" -> ((s, _) => {
         val res = topoCountries(s)
         res.topo.objects.select(col("objId"), col("nPoints"),
@@ -684,6 +722,9 @@ object SparkEntry {
     // IVF ANN — the full index build (seeded init + 2 Lloyd rounds with
     // DECIMAL-exact means) and probe replayed in SQL (see ivfOracle)
     "q_ann_ivf" -> ivfOracle,
+    // raw topology — junction detect + cut + shared-arc dedup recomputed
+    // from the INPUT rings (see rawTopoOracle)
+    "q_topo_arcs_raw" -> rawTopoOracle,
 
     // cosine oracles carry the engine's zero-norm guard (cosine(0,·)=0.0,
     // never NaN): DuckDB's list_cosine_similarity yields NaN on a zero
@@ -1081,6 +1122,97 @@ object SparkEntry {
        |  WHERE w.k >= 0)
        |SELECT rel_id AS relId, layer, h * 2199023255552 + 1099511627776 AS cellId
        |FROM walk WHERE k = -1""".stripMargin
+  }
+
+  /** Independent raw-topology oracle (q_topo_arcs_raw): junction
+    * detection, ring cutting and shared-arc dedup recomputed by DuckDB
+    * from the INPUT split-octagon rings — no recursion needed, because
+    * with junction positions known the cut is per-ring list arithmetic:
+    *
+    *  - junctions: the TopoJSON "join" rule — a vertex key occurs with
+    *    more than one distinct unordered neighbor pair; keys and pairs are
+    *    the engine's exact "x:y" / "a|b" strings (both engines print
+    *    doubles in shortest round-trip form at these magnitudes);
+    *  - cutting: rings with junctions rotate to their first junction
+    *    position and split at junction positions; junction-free rings
+    *    rotate to their minimal vertex key (STRING order — binary
+    *    collation equals Java char order on these ASCII keys) and emit one
+    *    closed arc;
+    *  - canonicalization: an arc's key is md5 of the lexicographic min of
+    *    its forward/reverse ';'-joined serialization — the engine's exact
+    *    dedup key — and arcIds are the rank of the md5 hex in ascending
+    *    order, which is precisely what the engine's
+    *    range-partition + sort + zipWithIndex assigns;
+    *  - n_pts / n_uses / bbox are recomputed per canonical arc; with no
+    *    clip, simplify or quantize every coordinate is an input double, so
+    *    the compare is exact (no rounding anywhere).
+    */
+  private def rawTopoOracle: String = {
+    def d(v: Double): String = java.lang.Double.toString(v)
+    // OPEN ring vertices (drop the closing duplicate), in ring order
+    val rows = Fixtures.splitOctagons.flatMap { case (objId, ring) =>
+      ring.dropRight(1).zipWithIndex.map { case ((x, y), i) => s"($objId, $i, ${d(x)}, ${d(y)})" }
+    }.mkString(",\n    ")
+    val maxN = Fixtures.splitOctagons.map(_._2.length).max // closed length ≥ open+1
+    s"""WITH verts AS (SELECT CAST(obj AS BIGINT) AS obj, i,
+       |                      CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+       |               FROM (VALUES
+       |    $rows
+       |  ) AS t(obj, i, x, y)),
+       |ks AS (SELECT unnest(generate_series(0, $maxN)) AS i),
+       |nn AS (SELECT obj, count(*) AS n FROM verts GROUP BY obj),
+       |pk AS (SELECT obj, i, x, y,
+       |              CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR) AS k FROM verts),
+       |pts AS (
+       |  SELECT p.obj, p.i, p.k,
+       |         CASE WHEN pp.k <= pn.k THEN pp.k || '|' || pn.k
+       |              ELSE pn.k || '|' || pp.k END AS pair
+       |  FROM pk p
+       |  JOIN nn ON nn.obj = p.obj
+       |  JOIN pk pp ON pp.obj = p.obj AND pp.i = (p.i - 1 + nn.n) % nn.n
+       |  JOIN pk pn ON pn.obj = p.obj AND pn.i = (p.i + 1) % nn.n),
+       |jpts AS (SELECT k FROM pts GROUP BY k HAVING count(DISTINCT pair) > 1),
+       |ringj AS (
+       |  SELECT nn.obj, nn.n,
+       |         coalesce((SELECT list(p.i ORDER BY p.i) FROM pts p JOIN jpts j ON j.k = p.k
+       |                   WHERE p.obj = nn.obj), CAST([] AS INTEGER[])) AS jidx
+       |  FROM nn),
+       |starts AS (
+       |  SELECT r.obj, r.n, r.jidx,
+       |         CASE WHEN len(r.jidx) = 0
+       |              THEN (SELECT p.i FROM pk p WHERE p.obj = r.obj ORDER BY p.k, p.i LIMIT 1)
+       |              ELSE r.jidx[1] END AS start
+       |  FROM ringj r),
+       |cutpos AS (
+       |  SELECT s.obj, s.n, s.start, list(g.i ORDER BY g.i) AS cuts
+       |  FROM starts s JOIN ks g ON g.i <= s.n
+       |  WHERE g.i = 0 OR g.i = s.n OR list_contains(s.jidx, CAST((s.start + g.i) % s.n AS INTEGER))
+       |  GROUP BY s.obj, s.n, s.start),
+       |segs AS (
+       |  SELECT c.obj, c.n, c.start, u.si - 1 AS seg, c.cuts[u.si] AS a, c.cuts[u.si + 1] AS b
+       |  FROM cutpos c, LATERAL (SELECT unnest(generate_series(1, len(c.cuts) - 1)) AS si) u),
+       |segpts AS (
+       |  SELECT s.obj, s.seg, g.i - s.a AS pos, p.k, p.x, p.y
+       |  FROM segs s JOIN ks g ON g.i >= s.a AND g.i <= s.b
+       |  JOIN pk p ON p.obj = s.obj AND p.i = (s.start + g.i) % s.n),
+       |canon AS (
+       |  SELECT obj, seg,
+       |         string_agg(k, ';' ORDER BY pos) AS fwd,
+       |         string_agg(k, ';' ORDER BY pos DESC) AS rev,
+       |         count(*) AS n_pts,
+       |         min(x) AS minx, min(y) AS miny, max(x) AS maxx, max(y) AS maxy
+       |  FROM segpts GROUP BY obj, seg),
+       |keyed AS (SELECT obj, seg, md5(least(fwd, rev)) AS key,
+       |                 n_pts, minx, miny, maxx, maxy FROM canon),
+       |arcs AS (
+       |  SELECT key, any_value(n_pts) AS n_pts, count(*) AS n_uses,
+       |         any_value(minx) AS minx, any_value(miny) AS miny,
+       |         any_value(maxx) AS maxx, any_value(maxy) AS maxy
+       |  FROM keyed GROUP BY key)
+       |SELECT CAST(row_number() OVER (ORDER BY key) - 1 AS BIGINT) AS arcId,
+       |       CAST(n_pts AS BIGINT) AS n_pts, minx, miny, maxx, maxy,
+       |       CAST(n_uses AS BIGINT) AS n_uses
+       |FROM arcs""".stripMargin
   }
 
   /** Independent IVF-ANN oracle (q_ann_ivf): the ENTIRE

@@ -246,6 +246,31 @@ object Fixtures {
       .toDF("id", "tags", "members")
       .withColumn("members", expr("transform(members, m -> struct(m._1 AS id, m._2 AS type, m._3 AS role))"))
   }
+  /** Split-octagon layer: each city's octagon divided into west/east
+    * halves sharing the vertical chord between the top (k=2) and bottom
+    * (k=6) vertices — the junction / shared-arc fixture for the raw
+    * topology query (objIds 600+2c west, 601+2c east). Rings are CLOSED.
+    */
+  lazy val splitOctagons: Seq[(Long, IndexedSeq[(Double, Double)])] =
+    cities.zipWithIndex.flatMap { case ((_, cx, cy), c) =>
+      val o = octagon(cx, cy, 1.0)
+      Seq(
+        (600L + 2 * c, IndexedSeq(o(2), o(3), o(4), o(5), o(6), o(2))),
+        (601L + 2 * c, IndexedSeq(o(6), o(7), o(0), o(1), o(2), o(6))))
+    }
+
+  /** splitOctagons as a topology-ready feature table (objId, wkb, bbox). */
+  def splitOctagonsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    splitOctagons.map { case (id, ring) =>
+      val xs = ring.map(_._1); val ys = ring.map(_._2)
+      (id, graft.geom.Jts.toWkb(graft.geom.Jts.polygon(ring)),
+        xs.min, ys.min, xs.max, ys.max)
+    }.toDF("objId", "wkb", "minx", "miny", "maxx", "maxy")
+      .withColumn("bbox", struct(col("minx"), col("miny"), col("maxx"), col("maxy")))
+      .select("objId", "wkb", "bbox")
+  }
+
   def waterDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
     osm._4.map(w => (w.id, w.rings.map(_.map(p => (p._1, p._2)))))

@@ -265,6 +265,21 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("raw topology over split octagons: chord shared, chains per-ring") {
+    val topo = TopoPipeline.topology(
+      graft.sources.Fixtures.splitOctagonsDf(spark), simplifyDigits = 0, quantize = 0)
+    try {
+      // 5 cities × (west chain + east chain + shared chord) = 15 arcs, 20 uses
+      val arcs = topo.arcs.select("arcId").as[Long].collect()
+      assert(arcs.length == 15 && arcs.toSet == (0L until 15L).toSet)
+      assert(topo.uses.count() == 20)
+      val useCounts = topo.uses.groupBy("arcId").count()
+        .as[(Long, Long)].collect().map(_._2).sorted.toSeq
+      // 5 chords used twice (shared border), 10 chains used once
+      assert(useCounts == Seq.fill(10)(1L) ++ Seq.fill(5)(2L))
+    } finally topo.release()
+  }
+
   test("kNN over the partition-pruned parquet index equals the cached search") {
     val path = java.nio.file.Files.createTempDirectory("knn_idx").toString
     Knn.writeIndexed(pages, path)

@@ -83,9 +83,14 @@ object Knn {
                  maxRounds: Int = -1): DataFrame = {
     require(partitionLevel <= level,
       s"partitionLevel $partitionLevel must be <= index level $level")
+    // ONE file-index listing for the whole search: partition pruning is
+    // extracted from each round's filter at planning time, so reusing the
+    // DataFrame keeps the per-round PartitionFilters while re-listing the
+    // table's directories once instead of once per ring
+    val table = spark.read.parquet(path)
     search(spark, queries, k, level, maxRounds, (probes, cells) => {
       val parents = cells.map(Cell.parent(_, partitionLevel)).distinct
-      spark.read.parquet(path)
+      table
         .filter(col("pcell").isin(parents: _*)) // directory-level pruning
         .join(broadcast(probes), Seq("cellId"))
     })

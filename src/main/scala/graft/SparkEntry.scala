@@ -552,6 +552,33 @@ object SparkEntry {
                  FROM graft_pages p JOIN graft_polys g
                  ON st_contains_point(g.wkb, p.lon, p.lat)""")
       }),
+      // Streaming PIP: the SAME rows as q_pip_spatial, but produced by an
+      // ACTUAL streaming execution — readStream over a parquet drop dir,
+      // stream-static broadcast probe (StreamPip.enrich — stateless, no
+      // state store, no stream shuffle), parquet sink, AvailableNow
+      // trigger. The driver's DuckDB oracle (shared with q_pip_spatial)
+      // then pins that the streaming plan is row-identical to batch —
+      // streaming evidence at the correctness gate, not just in specs.
+      "q_stream_pip" -> ((s, dir) => {
+        val tag = dir.replaceAll("[^a-z0-9.]", "_")
+        val src = s"/tmp/graft_streampip_src_$tag"
+        val out = s"/tmp/graft_streampip_out_$tag"
+        val ckpt = s"/tmp/graft_streampip_ckpt_$tag"
+        val pages = Fixtures.pages(s, dir).select("url", "warc_ts", "lang", "lon", "lat")
+        def done(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
+        if (!done(src)) pages.write.mode("overwrite").parquet(src)
+        val (polys, covers) = dims(s)
+        val stream = s.readStream.schema(pages.schema).parquet(src)
+        val enriched = streaming.StreamPip.enrich(stream, covers, polys)
+          .select(col("url"), col("layer"), col("relId").as("rel_id"))
+        val q = enriched.writeStream
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+      }),
       // J5 hybrid: hot relations broadcast within a byte budget, tail
       // shuffled — budget forced small so both paths run at sf scale
       "q_pip_hybrid" -> ((s, dir) => {
@@ -725,6 +752,10 @@ object SparkEntry {
     // raw topology — junction detect + cut + shared-arc dedup recomputed
     // from the INPUT rings (see rawTopoOracle)
     "q_topo_arcs_raw" -> rawTopoOracle,
+    // streaming PIP must be row-identical to the batch join — same oracle
+    "q_stream_pip" ->
+      s"""$pipOracleCtes
+         |SELECT url, layer, rel_id FROM contained""".stripMargin,
 
     // cosine oracles carry the engine's zero-norm guard (cosine(0,·)=0.0,
     // never NaN): DuckDB's list_cosine_similarity yields NaN on a zero

@@ -719,7 +719,25 @@ object SparkEntry {
         Similarity.embeddingDedupBlocked(s.read.parquet(s"$dir/embeddings.parquet"), 0.4)),
       // multimodal plumbing (decode step stubbed deterministically)
       "q_media_meta" -> ((s, dir) => Multimodal.decodeMeta(Fixtures.pages(s, dir))),
-      "q_media_frames" -> ((s, dir) => Multimodal.sampleFrames(Fixtures.pages(s, dir)))
+      "q_media_frames" -> ((s, dir) => Multimodal.sampleFrames(Fixtures.pages(s, dir))),
+      // REAL decode: valid binary-PPM images parsed by PpmCodec (header
+      // tokenizer + raster stats); the oracle recomputes dims/means from
+      // the generating formula, so a parser off-by-one (header skip,
+      // channel order, stride) breaks the hash
+      "q_media_ppm" -> ((s, dir) => {
+        import s.implicits._
+        Fixtures.ppmImages(s, dir)
+          .as[(String, Array[Byte])]
+          .mapPartitions(_.map { case (url, img) =>
+            val meta = Multimodal.PpmCodec.decode(url, img)
+            val (r, g, b) = Multimodal.PpmCodec.pixelMeans(img)
+            (url, meta.width, meta.height, meta.byteLen, r, g, b)
+          })
+          .toDF("url", "width", "height", "byte_len", "mean_r", "mean_g", "mean_b")
+          .withColumn("mean_r", round(col("mean_r"), 6))
+          .withColumn("mean_g", round(col("mean_g"), 6))
+          .withColumn("mean_b", round(col("mean_b"), 6))
+      })
     )
 
     sqlBacked ++ native
@@ -756,6 +774,26 @@ object SparkEntry {
     "q_stream_pip" ->
       s"""$pipOracleCtes
          |SELECT url, layer, rel_id FROM contained""".stripMargin,
+    // real PPM decode: dims + channel means recomputed from the image
+    // generator's formula (width 4+id%5, height 3+id%4, raster byte k =
+    // (id+k)%256, 11-byte header) — the SQL never parses bytes, so the
+    // codec's header tokenizer / stride / channel order are checked
+    // against an independent derivation
+    "q_media_ppm" ->
+      """WITH d AS (
+        |  SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
+        |         4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, url, w, h, unnest(generate_series(0, CAST(w * h - 1 AS BIGINT))) AS j
+        |  FROM d)
+        |SELECT url, CAST(any_value(w) AS INTEGER) AS width,
+        |       CAST(any_value(h) AS INTEGER) AS height,
+        |       CAST(11 + 3 * any_value(w) * any_value(h) AS BIGINT) AS byte_len,
+        |       round(avg(CAST((doc_id + 3 * j) % 256 AS DOUBLE)), 6) AS mean_r,
+        |       round(avg(CAST((doc_id + 3 * j + 1) % 256 AS DOUBLE)), 6) AS mean_g,
+        |       round(avg(CAST((doc_id + 3 * j + 2) % 256 AS DOUBLE)), 6) AS mean_b
+        |FROM px GROUP BY url""".stripMargin,
 
     // cosine oracles carry the engine's zero-norm guard (cosine(0,·)=0.0,
     // never NaN): DuckDB's list_cosine_similarity yields NaN on a zero

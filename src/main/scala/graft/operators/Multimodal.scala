@@ -53,6 +53,87 @@ object Multimodal {
       java.util.Arrays.hashCode(bytes).toLong * 1000003L + ts
   }
 
+  /** A REAL decoder: binary PPM (P6) needs no codec libraries, so the
+    * decode step is genuinely implemented for it even in this sandbox —
+    * header tokenizer (whitespace + `#` comment handling per the netpbm
+    * spec), dimension parse, strict payload-length validation, and
+    * pixel-level statistics over the raster. `q_media_ppm` checks it
+    * end-to-end against a DuckDB oracle that recomputes dimensions and
+    * per-channel means from the image-generating formula — a parser
+    * off-by-one (header skip, channel order, row stride) shows up as a
+    * mean mismatch. Formats that DO need codec libraries (JPEG, audio,
+    * video) remain on `StubCodec` until a real binding is injected.
+    */
+  object PpmCodec extends MediaCodec {
+    def decode(url: String, bytes: Array[Byte]): MediaMeta = {
+      val (w, h, off) = parseHeader(url, bytes)
+      require(bytes.length == off + 3 * w * h,
+        s"P6 payload for $url: expected ${off + 3 * w * h} bytes, got ${bytes.length}")
+      MediaMeta(url, "image", bytes.length.toLong, w, h, 0L)
+    }
+
+    /** Images carry no frames (sampleFrames skips kind=="image"); defined
+      * anyway as a raster checksum so the interface stays total.
+      */
+    def frameHash(bytes: Array[Byte], ts: Long): Long = {
+      val (w, h, off) = parseHeader("<frame>", bytes)
+      var acc = 1125899906842597L
+      var i = off
+      while (i < off + 3 * w * h) { acc = acc * 31 + (bytes(i) & 0xff); i += 1 }
+      acc * 1000003L + ts
+    }
+
+    /** Per-channel pixel means over the raster — real pixel-level decode
+      * output (the quantity q_media_ppm's oracle recomputes independently).
+      */
+    def pixelMeans(bytes: Array[Byte]): (Double, Double, Double) = {
+      val (w, h, off) = parseHeader("<means>", bytes)
+      val n = w * h
+      var r = 0L; var g = 0L; var b = 0L
+      var i = 0
+      while (i < n) {
+        r += bytes(off + 3 * i) & 0xff
+        g += bytes(off + 3 * i + 1) & 0xff
+        b += bytes(off + 3 * i + 2) & 0xff
+        i += 1
+      }
+      (r.toDouble / n, g.toDouble / n, b.toDouble / n)
+    }
+
+    /** netpbm P6 header: "P6", then width, height, maxval as ASCII ints
+      * separated by whitespace (with `#`-to-end-of-line comments allowed
+      * anywhere whitespace is), then exactly ONE whitespace byte before
+      * the raster. Returns (width, height, rasterOffset).
+      */
+    private def parseHeader(url: String, bytes: Array[Byte]): (Int, Int, Int) = {
+      require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+        s"not a P6 ppm: $url")
+      var i = 2
+      def skipSpaceAndComments(): Unit = {
+        var go = true
+        while (go && i < bytes.length) {
+          val c = bytes(i)
+          if (c == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+          else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') i += 1
+          else go = false
+        }
+      }
+      def int(): Int = {
+        skipSpaceAndComments()
+        val s = i
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') i += 1
+        require(i > s, s"malformed P6 header int at byte $s: $url")
+        new String(bytes, s, i - s, "US-ASCII").toInt
+      }
+      val w = int(); val h = int(); val maxval = int()
+      require(maxval == 255, s"only 8-bit P6 supported (maxval=$maxval): $url")
+      require(i < bytes.length, s"P6 header truncated: $url")
+      i += 1 // the single whitespace byte separating header from raster
+      require(w > 0 && h > 0, s"degenerate P6 dimensions ${w}x$h: $url")
+      (w, h, i)
+    }
+  }
+
   /** STUB decode: deterministic pseudo-metadata from the payload bytes.
     * Replace with a real codec (javax.imageio / ffmpeg bindings) outside
     * this sandbox.

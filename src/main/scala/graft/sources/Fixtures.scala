@@ -246,6 +246,25 @@ object Fixtures {
       .toDF("id", "tags", "members")
       .withColumn("members", expr("transform(members, m -> struct(m._1 AS id, m._2 AS type, m._3 AS role))"))
   }
+  /** Real binary-PPM (P6) images, one per document — deterministic pixel
+    * formula so the DuckDB oracle can recompute dimensions and channel
+    * means WITHOUT parsing bytes: width = 4 + doc_id%5, height =
+    * 3 + doc_id%4 (single-digit, so the header is always 11 bytes), and
+    * raster byte k = (doc_id + k) % 256. These are genuinely valid PPM
+    * files (any netpbm tool opens them); `Multimodal.PpmCodec` decodes
+    * them for real.
+    */
+  def ppmImages(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, sfDir).select("doc_id").as[Long].map { id =>
+      val w = (4 + id % 5).toInt
+      val h = (3 + id % 4).toInt
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val raster = Array.tabulate(3 * w * h)(k => ((id + k) % 256).toByte)
+      (s"https://example.test/doc/$id", header ++ raster)
+    }.toDF("url", "img")
+  }
+
   /** Split-octagon layer: each city's octagon divided into west/east
     * halves sharing the vertical chord between the top (k=2) and bottom
     * (k=6) vertices — the junction / shared-arc fixture for the raw

@@ -91,6 +91,29 @@ class TextOpsSpec extends SparkTestBase {
       .foreach(u => assert(kinds(u) == "video"))
   }
 
+  test("PpmCodec: real P6 parse incl. comments; truncation fails loudly") {
+    // a handcrafted 2x2 image with a spec-legal comment in the header
+    val raster = Array.tabulate(12)(k => (10 * k).toByte)
+    val img = "P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++ raster
+    val meta = Multimodal.PpmCodec.decode("u", img)
+    assert(meta.width == 2 && meta.height == 2 && meta.kind == "image" &&
+      meta.byteLen == img.length && meta.durationMs == 0L)
+    val (r, g, b) = Multimodal.PpmCodec.pixelMeans(img)
+    // channel c mean over pixels i: bytes 10*(3i+c) & 0xff
+    def mean(c: Int) = (0 until 4).map(i => (10 * (3 * i + c)) & 0xff).sum / 4.0
+    assert(r == mean(0) && g == mean(1) && b == mean(2))
+    intercept[IllegalArgumentException] {
+      Multimodal.PpmCodec.decode("u", img.dropRight(1))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.PpmCodec.decode("u", "P5\n2 2\n255\n".getBytes("US-ASCII"))
+    }
+    // the fixture generator emits genuinely valid PPMs the codec round-trips
+    val fx = Fixtures.ppmImages(spark, sf0001).as[(String, Array[Byte])].head()
+    val m2 = Multimodal.PpmCodec.decode(fx._1, fx._2)
+    assert(m2.byteLen == 11 + 3L * m2.width * m2.height)
+  }
+
   test("multimodal codec seam: an injected codec replaces the stub end-to-end") {
     // a production build swaps StubCodec for a real decoder without
     // touching the plumbing — this pins that every operator honors the

@@ -30,6 +30,13 @@ object ExplainDump {
     println("==== jaccardPairs candidate stage ====")
     graft.operators.Clusters.jaccardPairs(
       graft.sources.Fixtures.documents(spark, dir), 0.3).explain("formatted")
+    println("==== knnIndexed per-round read (PartitionFilters on pcell) ====")
+    locally {
+      val path = java.nio.file.Files.createTempDirectory("knn_idx_explain").toString
+      graft.operators.Knn.writeIndexed(graft.sources.Fixtures.pages(spark, dir), path)
+      val parent = graft.cells.Cell.cellAt(4.35, 50.85, 4)
+      spark.read.parquet(path).filter(col("pcell").isin(parent)).explain("formatted")
+    }
     spark.stop()
   }
 }

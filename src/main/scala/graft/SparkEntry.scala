@@ -737,6 +737,24 @@ object SparkEntry {
           .withColumn("mean_r", round(col("mean_r"), 6))
           .withColumn("mean_g", round(col("mean_g"), 6))
           .withColumn("mean_b", round(col("mean_b"), 6))
+      }),
+      // REAL decode #2, a web-common format: valid zlib-compressed PNGs
+      // decoded by PngCodec (chunk walk + CRC verify + IDAT inflate +
+      // filter reconstruction); same formula oracle (byte_len omitted —
+      // it is deflate-dependent)
+      "q_media_png" -> ((s, dir) => {
+        import s.implicits._
+        Fixtures.pngImages(s, dir)
+          .as[(String, Array[Byte])]
+          .mapPartitions(_.map { case (url, img) =>
+            val meta = Multimodal.PngCodec.decode(url, img)
+            val (r, g, b) = Multimodal.PngCodec.pixelMeans(img)
+            (url, meta.width, meta.height, r, g, b)
+          })
+          .toDF("url", "width", "height", "mean_r", "mean_g", "mean_b")
+          .withColumn("mean_r", round(col("mean_r"), 6))
+          .withColumn("mean_g", round(col("mean_g"), 6))
+          .withColumn("mean_b", round(col("mean_b"), 6))
       })
     )
 
@@ -790,6 +808,24 @@ object SparkEntry {
         |SELECT url, CAST(any_value(w) AS INTEGER) AS width,
         |       CAST(any_value(h) AS INTEGER) AS height,
         |       CAST(11 + 3 * any_value(w) * any_value(h) AS BIGINT) AS byte_len,
+        |       round(avg(CAST((doc_id + 3 * j) % 256 AS DOUBLE)), 6) AS mean_r,
+        |       round(avg(CAST((doc_id + 3 * j + 1) % 256 AS DOUBLE)), 6) AS mean_g,
+        |       round(avg(CAST((doc_id + 3 * j + 2) % 256 AS DOUBLE)), 6) AS mean_b
+        |FROM px GROUP BY url""".stripMargin,
+    // real PNG decode: same independent dims/means derivation (byte_len
+    // omitted — the zlib stream length is not formula-derivable); the
+    // codec's chunk walk, CRC verify, inflate and filter reconstruction
+    // all sit between the bytes and these numbers
+    "q_media_png" ->
+      """WITH d AS (
+        |  SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
+        |         4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, url, w, h, unnest(generate_series(0, CAST(w * h - 1 AS BIGINT))) AS j
+        |  FROM d)
+        |SELECT url, CAST(any_value(w) AS INTEGER) AS width,
+        |       CAST(any_value(h) AS INTEGER) AS height,
         |       round(avg(CAST((doc_id + 3 * j) % 256 AS DOUBLE)), 6) AS mean_r,
         |       round(avg(CAST((doc_id + 3 * j + 1) % 256 AS DOUBLE)), 6) AS mean_g,
         |       round(avg(CAST((doc_id + 3 * j + 2) % 256 AS DOUBLE)), 6) AS mean_b

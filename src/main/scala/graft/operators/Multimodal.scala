@@ -134,6 +134,174 @@ object Multimodal {
     }
   }
 
+  /** A second REAL decoder, for an actually-web-common format: PNG
+    * (8-bit RGB, non-interlaced) decodes pure-JVM — zlib ships in the JDK
+    * (`java.util.zip.Inflater`), so a full IDAT inflate + scanline filter
+    * reconstruction (all five filter types: None/Sub/Up/Average/Paeth,
+    * PNG spec §9) needs no external codec. CRCs are verified per chunk.
+    * `q_media_png` checks dims + per-channel pixel means against the same
+    * formula-derived DuckDB oracle style as `q_media_ppm` — the oracle
+    * never touches compressed bytes, so a chunk-walk, inflate, stride or
+    * filter-reconstruction bug breaks the hash.
+    */
+  object PngCodec extends MediaCodec {
+    private val Sig = Array[Int](0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+
+    def decode(url: String, bytes: Array[Byte]): MediaMeta = {
+      val (w, h) = dims(url, bytes)
+      MediaMeta(url, "image", bytes.length.toLong, w, h, 0L)
+    }
+
+    def frameHash(bytes: Array[Byte], ts: Long): Long = {
+      val px = pixels(bytes)
+      var acc = 1125899906842597L
+      px.foreach(b => acc = acc * 31 + (b & 0xff))
+      acc * 1000003L + ts
+    }
+
+    def pixelMeans(bytes: Array[Byte]): (Double, Double, Double) = {
+      val px = pixels(bytes)
+      val n = px.length / 3
+      var r = 0L; var g = 0L; var b = 0L
+      var i = 0
+      while (i < n) {
+        r += px(3 * i) & 0xff; g += px(3 * i + 1) & 0xff; b += px(3 * i + 2) & 0xff
+        i += 1
+      }
+      (r.toDouble / n, g.toDouble / n, b.toDouble / n)
+    }
+
+    private def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+    private def chunks(url: String, bytes: Array[Byte]): Iterator[(String, Int, Int)] = {
+      require(bytes.length >= 8 && Sig.indices.forall(i => bytes(i) == Sig(i)),
+        s"not a PNG: $url")
+      new Iterator[(String, Int, Int)] {
+        private var o = 8
+        def hasNext: Boolean = o + 8 <= bytes.length
+        def next(): (String, Int, Int) = {
+          val len = be32(bytes, o)
+          val typ = new String(bytes, o + 4, 4, "US-ASCII")
+          val dataOff = o + 8
+          require(dataOff + len + 4 <= bytes.length, s"truncated $typ chunk: $url")
+          val crc = new java.util.zip.CRC32
+          crc.update(bytes, o + 4, 4 + len)
+          require(crc.getValue.toInt == be32(bytes, dataOff + len),
+            s"CRC mismatch in $typ chunk: $url")
+          o = dataOff + len + 4
+          (typ, dataOff, len)
+        }
+      }
+    }
+
+    private def dims(url: String, bytes: Array[Byte]): (Int, Int) = {
+      val (typ, off, len) = chunks(url, bytes).next()
+      require(typ == "IHDR" && len == 13, s"first PNG chunk must be IHDR(13): $url")
+      val w = be32(bytes, off); val h = be32(bytes, off + 4)
+      require(bytes(off + 8) == 8 && bytes(off + 9) == 2,
+        s"only 8-bit truecolor (RGB) PNG supported: $url")
+      require(bytes(off + 12) == 0, s"interlaced PNG not supported: $url")
+      require(w > 0 && h > 0, s"degenerate PNG dimensions ${w}x$h: $url")
+      (w, h)
+    }
+
+    /** Inflate the IDAT stream and undo scanline filters → raw RGB bytes
+      * (row-major, 3 bytes per pixel).
+      */
+    private def pixels(bytes: Array[Byte]): Array[Byte] = {
+      val (w, h) = dims("<pixels>", bytes)
+      val idat = new java.io.ByteArrayOutputStream()
+      chunks("<pixels>", bytes).foreach { case (typ, off, len) =>
+        if (typ == "IDAT") idat.write(bytes, off, len)
+      }
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      val stride = 3 * w
+      val raw = new Array[Byte](h * (1 + stride))
+      var done = 0
+      while (!inf.finished() && done < raw.length)
+        done += inf.inflate(raw, done, raw.length - done)
+      inf.end()
+      require(done == raw.length, s"IDAT inflated to $done bytes, expected ${raw.length}")
+      // filter reconstruction (PNG spec §9; bpp = 3)
+      val out = new Array[Byte](h * stride)
+      var y = 0
+      while (y < h) {
+        val f = raw(y * (1 + stride)) & 0xff
+        val rowIn = y * (1 + stride) + 1
+        val rowOut = y * stride
+        var x = 0
+        while (x < stride) {
+          val cur = raw(rowIn + x) & 0xff
+          val a = if (x >= 3) out(rowOut + x - 3) & 0xff else 0 // left
+          val b = if (y > 0) out(rowOut - stride + x) & 0xff else 0 // up
+          val c = if (x >= 3 && y > 0) out(rowOut - stride + x - 3) & 0xff else 0 // up-left
+          val recon = f match {
+            case 0 => cur
+            case 1 => cur + a
+            case 2 => cur + b
+            case 3 => cur + (a + b) / 2
+            case 4 => // Paeth predictor
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            case other => throw new IllegalArgumentException(s"unknown PNG filter $other")
+          }
+          out(rowOut + x) = (recon & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Encode raw RGB pixels as a valid 8-bit truecolor PNG (filter 0
+      * rows, one zlib stream) — lets fixtures emit REAL PNG files with no
+      * external library; any PNG viewer opens them.
+      */
+    def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == 3 * w * h, s"need ${3 * w * h} rgb bytes, got ${rgb.length}")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Sig)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        def be(v: Int): Array[Byte] =
+          Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+            ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        out.write(be(data.length))
+        val tb = typ.getBytes("US-ASCII")
+        out.write(tb); out.write(data)
+        val crc = new java.util.zip.CRC32
+        crc.update(tb); crc.update(data)
+        out.write(be(crc.getValue.toInt))
+      }
+      val ihdr = new Array[Byte](13)
+      ihdr(0) = ((w >> 24) & 0xff).toByte; ihdr(1) = ((w >> 16) & 0xff).toByte
+      ihdr(2) = ((w >> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
+      ihdr(4) = ((h >> 24) & 0xff).toByte; ihdr(5) = ((h >> 16) & 0xff).toByte
+      ihdr(6) = ((h >> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
+      ihdr(8) = 8; ihdr(9) = 2; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+      chunk("IHDR", ihdr)
+      val stride = 3 * w
+      val raw = new Array[Byte](h * (1 + stride))
+      var y = 0
+      while (y < h) {
+        raw(y * (1 + stride)) = 0 // filter type None
+        System.arraycopy(rgb, y * stride, raw, y * (1 + stride) + 1, stride)
+        y += 1
+      }
+      val defl = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+      defl.setInput(raw); defl.finish()
+      val comp = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      chunk("IDAT", comp.toByteArray)
+      chunk("IEND", Array.empty[Byte])
+      out.toByteArray
+    }
+  }
+
   /** STUB decode: deterministic pseudo-metadata from the payload bytes.
     * Replace with a real codec (javax.imageio / ffmpeg bindings) outside
     * this sandbox.

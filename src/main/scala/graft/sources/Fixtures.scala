@@ -265,6 +265,22 @@ object Fixtures {
     }.toDF("url", "img")
   }
 
+  /** Real PNG images (8-bit truecolor, zlib-compressed via the JDK's
+    * Deflater — genuinely valid files any viewer opens), same dims/pixel
+    * formula as `ppmImages` so the q_media_png oracle reuses the same
+    * independent derivation. The compressed byte length is
+    * deflate-dependent, so PNG outputs omit byte_len.
+    */
+  def pngImages(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, sfDir).select("doc_id").as[Long].map { id =>
+      val w = (4 + id % 5).toInt
+      val h = (3 + id % 4).toInt
+      val rgb = Array.tabulate(3 * w * h)(k => ((id + k) % 256).toByte)
+      (s"https://example.test/doc/$id", graft.operators.Multimodal.PngCodec.encode(w, h, rgb))
+    }.toDF("url", "img")
+  }
+
   /** Split-octagon layer: each city's octagon divided into west/east
     * halves sharing the vertical chord between the top (k=2) and bottom
     * (k=6) vertices — the junction / shared-arc fixture for the raw

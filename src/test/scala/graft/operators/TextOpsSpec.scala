@@ -114,6 +114,74 @@ class TextOpsSpec extends SparkTestBase {
     assert(m2.byteLen == 11 + 3L * m2.width * m2.height)
   }
 
+  test("PngCodec: encode/decode round trip; all five filter types reconstruct; CRC enforced") {
+    import Multimodal.PngCodec
+    val w = 5; val h = 4
+    val rgb = Array.tabulate(3 * w * h)(k => ((k * 7 + 3) % 256).toByte)
+    val png = PngCodec.encode(w, h, rgb)
+    val meta = PngCodec.decode("u", png)
+    assert(meta.width == w && meta.height == h && meta.kind == "image")
+    // pixel-exact round trip through deflate + filter-0 reconstruction
+    val (r, g, b) = PngCodec.pixelMeans(png)
+    def mean(c: Int) = (0 until w * h).map(i => rgb(3 * i + c) & 0xff).sum.toDouble / (w * h)
+    assert(r == mean(0) && g == mean(1) && b == mean(2))
+    // non-zero filters: re-encode the same pixels with per-row Sub/Up/
+    // Average/Paeth filtering and assert the decoder reconstructs them —
+    // build the filtered stream by hand (encoder always writes filter 0)
+    val stride = 3 * w
+    val raw = new Array[Byte](h * (1 + stride))
+    for (y <- 0 until h) {
+      val f = 1 + (y % 4) // Sub, Up, Average, Paeth
+      raw(y * (1 + stride)) = f.toByte
+      for (x <- 0 until stride) {
+        val cur = rgb(y * stride + x) & 0xff
+        val a = if (x >= 3) rgb(y * stride + x - 3) & 0xff else 0
+        val bb = if (y > 0) rgb((y - 1) * stride + x) & 0xff else 0
+        val c = if (x >= 3 && y > 0) rgb((y - 1) * stride + x - 3) & 0xff else 0
+        val pred = f match {
+          case 1 => a
+          case 2 => bb
+          case 3 => (a + bb) / 2
+          case 4 =>
+            val p = a + bb - c
+            val pa = math.abs(p - a); val pb = math.abs(p - bb); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
+        }
+        raw(y * (1 + stride) + 1 + x) = ((cur - pred) & 0xff).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater(); defl.setInput(raw); defl.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    // splice the hand-filtered IDAT into a fresh PNG (reuse encode's
+    // header by rebuilding: signature + IHDR from a filter-0 encode)
+    val base = PngCodec.encode(w, h, rgb)
+    val ihdrEnd = 8 + 8 + 13 + 4
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, ihdrEnd)
+    def be(v: Int): Array[Byte] = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val data = comp.toByteArray
+    out.write(be(data.length)); out.write("IDAT".getBytes("US-ASCII")); out.write(data)
+    val crc = new java.util.zip.CRC32
+    crc.update("IDAT".getBytes("US-ASCII")); crc.update(data)
+    out.write(be(crc.getValue.toInt))
+    out.write(be(0)); out.write("IEND".getBytes("US-ASCII"))
+    val crc2 = new java.util.zip.CRC32; crc2.update("IEND".getBytes("US-ASCII"))
+    out.write(be(crc2.getValue.toInt))
+    val filteredPng = out.toByteArray
+    val (r2, g2, b2) = PngCodec.pixelMeans(filteredPng)
+    assert(r2 == r && g2 == g && b2 == b, "filtered reconstruction differs")
+    // corrupting one IDAT byte must fail the CRC check loudly
+    val bad = png.clone(); bad(ihdrEnd + 9) = (bad(ihdrEnd + 9) ^ 0x40).toByte
+    intercept[IllegalArgumentException] { PngCodec.pixelMeans(bad) }
+    // fixture emits genuinely valid PNGs the codec round-trips
+    val fx = Fixtures.pngImages(spark, sf0001).as[(String, Array[Byte])].head()
+    val m2 = PngCodec.decode(fx._1, fx._2)
+    assert(m2.width >= 4 && m2.height >= 3)
+  }
+
   test("multimodal codec seam: an injected codec replaces the stub end-to-end") {
     // a production build swaps StubCodec for a real decoder without
     // touching the plumbing — this pins that every operator honors the

@@ -553,31 +553,51 @@ object SparkEntry {
                  ON st_contains_point(g.wkb, p.lon, p.lat)""")
       }),
       // Streaming PIP: the SAME rows as q_pip_spatial, but produced by an
-      // ACTUAL streaming execution — readStream over a parquet drop dir,
-      // stream-static broadcast probe (StreamPip.enrich — stateless, no
-      // state store, no stream shuffle), parquet sink, AvailableNow
-      // trigger. The driver's DuckDB oracle (shared with q_pip_spatial)
-      // then pins that the streaming plan is row-identical to batch —
-      // streaming evidence at the correctness gate, not just in specs.
+      // ACTUAL multi-batch streaming execution with a checkpoint RESTART —
+      // batch 1 (even doc_ids) is dropped and processed to termination
+      // (AvailableNow), batch 2 (odd doc_ids) is dropped, and a NEW query
+      // resumes from the same checkpoint: exactly-once requires it to pick
+      // up ONLY the new files (a reprocess would double batch 1's rows and
+      // break the oracle's row count + hash). Stream-static broadcast
+      // probe (StreamPip.enrich — stateless, no state store, no stream
+      // shuffle), parquet sink. The driver's DuckDB oracle (shared with
+      // q_pip_spatial) then pins that the two-run streaming union is
+      // row-identical to batch — checkpoint-resume evidence at the
+      // correctness gate, matching the reference's sequence-checkpoint
+      // semantics (source.go:97-120).
       "q_stream_pip" -> ((s, dir) => {
-        val tag = dir.replaceAll("[^a-z0-9.]", "_")
-        val src = s"/tmp/graft_streampip_src_$tag"
-        val out = s"/tmp/graft_streampip_out_$tag"
-        val ckpt = s"/tmp/graft_streampip_ckpt_$tag"
-        val pages = Fixtures.pages(s, dir).select("url", "warc_ts", "lang", "lon", "lat")
-        def done(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p, "_SUCCESS"))
-        if (!done(src)) pages.write.mode("overwrite").parquet(src)
-        val (polys, covers) = dims(s)
-        val stream = s.readStream.schema(pages.schema).parquet(src)
-        val enriched = streaming.StreamPip.enrich(stream, covers, polys)
-          .select(col("url"), col("layer"), col("relId").as("rel_id"))
-        val q = enriched.writeStream
-          .format("parquet").option("path", out)
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.read.parquet(out)
+        val root = scratchRoot("streampip", dir)
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "DONE"))) {
+          buildScratch(root) { work =>
+            val src = s"$work/src"; val ckpt = s"$work/ckpt"; val outW = s"$work/out"
+            val pages = Fixtures.pages(s, dir).select("doc_id", "url", "warc_ts", "lang", "lon", "lat")
+            val feedSchema = pages.drop("doc_id").schema
+            val (polys, covers) = dims(s)
+            def runToTermination(): Unit = {
+              val stream = s.readStream.schema(feedSchema).parquet(src)
+              val enriched = streaming.StreamPip.enrich(stream, covers, polys)
+                .select(col("url"), col("layer"), col("relId").as("rel_id"))
+              val q = enriched.writeStream
+                .format("parquet").option("path", outW)
+                .option("checkpointLocation", ckpt)
+                .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+                .start()
+              q.awaitTermination()
+            }
+            pages.filter(col("doc_id") % 2 === 0).drop("doc_id")
+              .write.mode("append").parquet(src)
+            runToTermination() // run 1: batch 1 only, query stops
+            pages.filter(col("doc_id") % 2 === 1).drop("doc_id")
+              .write.mode("append").parquet(src)
+            runToTermination() // run 2: RESTART from checkpoint, new files only
+            // re-materialize as plain parquet: the streaming sink's
+            // _spark_metadata log stores absolute paths, which would break
+            // under buildScratch's atomic rename; the batch copy reads
+            // through the log (exactly-once committed files only)
+            s.read.parquet(outW).write.mode("overwrite").parquet(s"$work/final")
+          }
+        }
+        s.read.parquet(s"$root/final")
       }),
       // J5 hybrid: hot relations broadcast within a byte budget, tail
       // shuffled — budget forced small so both paths run at sf scale
@@ -642,10 +662,10 @@ object SparkEntry {
       // index (writeIndexed) — each round reads only frontier directories,
       // never the whole table; same oracle as q_knn (rows must be identical)
       "q_knn_pruned" -> ((s, dir) => {
-        val path = knnIndexPath(dir)
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
-          Knn.writeIndexed(Fixtures.pages(s, dir), path)
-        Knn.knnIndexed(s, path, knnQueries, k = 5)
+        val root = knnIndexPath(dir)
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "DONE")))
+          buildScratch(root)(work => Knn.writeIndexed(Fixtures.pages(s, dir), s"$work/idx"))
+        Knn.knnIndexed(s, s"$root/idx", knnQueries, k = 5)
           .select(col("queryId").as("query_id"), col("rank").cast("long").as("rank"),
             col("url"), round(col("dist"), 3).as("dist"))
       }),
@@ -1758,23 +1778,106 @@ object SparkEntry {
       operators.Knn.Query(s"q$i", cx, cy)
     }
 
-  /** Deterministic scratch path for the q_knn_pruned parquet index, keyed
-    * by sf dir (gated on _SUCCESS so a killed writer never leaves a
-    * silently-partial index behind).
+  /** Content fingerprint of the fixture set under `sfDir`: FNV-1a over the
+    * sorted (relative name, size) pairs of the documents table's files. A
+    * REGENERATED fixture at the same path changes the fingerprint, so
+    * fingerprint-keyed scratch dirs can never serve stale derived data —
+    * the failure mode of the old sfDir-string keying, where a rewritten
+    * fixture silently reused the previous run's index/stream source.
     */
-  private def knnIndexPath(sfDir: String): String =
-    s"/tmp/graft_knn_idx_${sfDir.replaceAll("[^a-z0-9.]", "_")}"
+  private[graft] def fixtureFingerprint(sfDir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(sfDir, "documents.parquet")
+    var h = 0xcbf29ce484222325L
+    def mix(s: String): Unit =
+      s.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+    if (java.nio.file.Files.isDirectory(dir)) {
+      val st = java.nio.file.Files.list(dir)
+      try st.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+        .foreach(p => mix(s"${p.getFileName}:${java.nio.file.Files.size(p)}"))
+      finally st.close()
+    } else if (java.nio.file.Files.exists(dir)) mix(s"f:${java.nio.file.Files.size(dir)}")
+    f"$h%016x"
+  }
+
+  /** Deterministic scratch root for derived-from-fixture tables, keyed by
+    * the fixture CONTENT fingerprint (not just the path string).
+    */
+  private def scratchRoot(kind: String, sfDir: String): String =
+    s"/tmp/graft_${kind}_${sfDir.replaceAll("[^a-z0-9.]", "_")}_${fixtureFingerprint(sfDir)}"
+
+  /** Build scratch content in a process-unique work dir, then ATOMICALLY
+    * rename it to `root` — two concurrent runs at the same fixture content
+    * each build privately and exactly one rename wins (the loser discards
+    * its copy and reads the winner's); a killed build leaves only an
+    * orphaned work dir, never a half-written `root`.
+    */
+  private def buildScratch(root: String)(build: String => Unit): Unit = {
+    val work = s"${root}_w${java.lang.ProcessHandle.current().pid()}_${System.nanoTime()}"
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        val st = java.nio.file.Files.walk(p)
+        try st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.delete(q))
+        finally st.close()
+      }
+    rmTree(java.nio.file.Paths.get(work))
+    build(work)
+    java.nio.file.Files.write(java.nio.file.Paths.get(work, "DONE"), Array.empty[Byte])
+    try java.nio.file.Files.move(java.nio.file.Paths.get(work), java.nio.file.Paths.get(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.AccessDeniedException |
+           _: java.nio.file.FileSystemException
+        if java.nio.file.Files.exists(java.nio.file.Paths.get(root, "DONE")) =>
+        rmTree(java.nio.file.Paths.get(work)) // another process won; use theirs
+    }
+  }
+
+  /** Scratch path for the q_knn_pruned parquet index (fingerprint-keyed;
+    * DONE-gated via buildScratch so a killed writer never leaves a
+    * silently-partial index behind and regenerated fixtures never reuse a
+    * stale one).
+    */
+  private def knnIndexPath(sfDir: String): String = scratchRoot("knnidx", sfDir)
 
   private def langProfileValues: String =
     operators.TextOps.langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       s"('$lang', [${words.toSeq.sorted.map(w => s"'$w'").mkString(", ")}])"
     }.mkString(",\n    ")
 
-  /** Oracles re-derived by DuckDB from an arcs/uses export of the same
-    * topology build. The export is generated at oracle-dump time (Verify
-    * runs with an active session; the topoCountries memo is already warm)
-    * and embedded as VALUES; the arc CONTENTS stay pinned independently by
-    * GoldenSpec (q_topo_arcs) and the reconstruction round-trip property.
+  /** The live engine's arcs/uses export in TopoGolden's exact shape —
+    * used ONLY by the freeze tool (tools.DumpTopoExport) and the drift
+    * spec (TopoGoldenSpec), never by the oracles: the oracle VALUES come
+    * from the FROZEN sources.TopoGolden literals, so the DuckDB replay is
+    * anchored to a reviewed in-repo artifact rather than to whatever the
+    * engine computed in the same process (the round-4 shape, which made
+    * the "oracle" partially self-referential and made `oracleSql` trigger
+    * a full topology build as a side effect).
+    */
+  private[graft] def liveTopoExport(spark: SparkSession)
+      : (Seq[(Long, Long, Double, Double, Double, Double)], Seq[(Long, Long)]) = {
+    val lr = topoCountries(spark)
+    import spark.implicits._
+    val arcs = lr.topo.arcs.select(col("arcId"), col("pts"))
+      .as[(Long, Seq[(Double, Double)])].collect().sortBy(_._1).toSeq
+      .map { case (id, pts) =>
+        val xs = pts.map(_._1); val ys = pts.map(_._2)
+        (id, pts.length.toLong, xs.min, ys.min, xs.max, ys.max)
+      }
+    val uses = lr.topo.uses.select(col("objId"), col("arcId"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    (arcs, uses)
+  }
+
+  /** Oracles re-derived by DuckDB from the FROZEN arcs/uses export
+    * (sources.TopoGolden — a reviewed in-repo literal, regenerated only
+    * intentionally via tools.DumpTopoExport). TopoGoldenSpec pins the live
+    * engine's export to the frozen rows, so drift fails tests loudly
+    * instead of silently re-deriving the oracle from drifted output; the
+    * arc CONTENTS stay pinned independently by GoldenSpec (q_topo_arcs)
+    * and the reconstruction round-trip property.
     *
     * q_topo_objects — "point counts through ^arc indirection are pure
     * arithmetic": the SQL independently recomputes the object-level
@@ -1800,21 +1903,14 @@ object SparkEntry {
     * Topology queries are sfDir-independent (fixture-driven), so one
     * embedded export is valid at every scale factor.
     */
-  private def topoExportOracles: Map[String, String] =
-    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
-      case None => Map.empty // no session (plain JVM) → rows-only check
-      case Some(spark) =>
-        val lr = topoCountries(spark)
-        import spark.implicits._
+  private def topoExportOracles: Map[String, String] = {
+    {
         def d(v: Double): String = java.lang.Double.toString(v) // shortest round-trip repr
-        val arcRows = lr.topo.arcs.select(col("arcId"), col("pts"))
-          .as[(Long, Seq[(Double, Double)])].collect().sortBy(_._1)
-          .map { case (id, pts) =>
-            val xs = pts.map(_._1); val ys = pts.map(_._2)
-            s"($id, ${pts.length}, ${d(xs.min)}, ${d(ys.min)}, ${d(xs.max)}, ${d(ys.max)})"
+        val arcRows = sources.TopoGolden.arcs
+          .map { case (id, len, x0, y0, x1, y1) =>
+            s"($id, $len, ${d(x0)}, ${d(y0)}, ${d(x1)}, ${d(y1)})"
           }.mkString(",\n    ")
-        val useRows = lr.topo.uses.select(col("objId"), col("arcId"))
-          .as[(Long, Long)].collect().sorted
+        val useRows = sources.TopoGolden.uses
           .map { case (o, a) => s"($o, $a)" }.mkString(", ")
         val exportCtes =
           s"""arcs AS (
@@ -1870,6 +1966,7 @@ object SparkEntry {
                |SELECT unnest(picked) AS objId, unnest(slc) AS slice
                |FROM walk WHERE k = (SELECT c FROM cnt)""".stripMargin)
     }
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for engine-native geometry/sketch

@@ -220,10 +220,19 @@ object Multimodal {
       val stride = 3 * w
       val raw = new Array[Byte](h * (1 + stride))
       var done = 0
-      while (!inf.finished() && done < raw.length)
-        done += inf.inflate(raw, done, raw.length - done)
+      var stalled = false
+      while (!inf.finished() && done < raw.length && !stalled) {
+        val n = inf.inflate(raw, done, raw.length - done)
+        // inflate() == 0 with buffer space left means the stream can make
+        // no progress — a TRUNCATED IDAT (chunk CRCs can still be valid:
+        // they cover the stored bytes, not zlib completeness). Without
+        // this check the loop spins forever — a hung executor task on a
+        // malformed real-world input instead of a loud failure.
+        if (n == 0) stalled = true else done += n
+      }
       inf.end()
-      require(done == raw.length, s"IDAT inflated to $done bytes, expected ${raw.length}")
+      require(done == raw.length,
+        s"truncated IDAT: inflated $done bytes, expected ${raw.length}")
       // filter reconstruction (PNG spec §9; bpp = 3)
       val out = new Array[Byte](h * stride)
       var y = 0

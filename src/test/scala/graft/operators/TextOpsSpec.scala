@@ -182,6 +182,34 @@ class TextOpsSpec extends SparkTestBase {
     assert(m2.width >= 4 && m2.height >= 3)
   }
 
+  test("PngCodec: truncated IDAT with valid chunk CRC fails loudly, never hangs") {
+    import Multimodal.PngCodec
+    val w = 5; val h = 4
+    val rgb = Array.tabulate(3 * w * h)(k => ((k * 7 + 3) % 256).toByte)
+    val base = PngCodec.encode(w, h, rgb)
+    // rebuild the PNG with the IDAT zlib stream cut in half — the chunk
+    // CRC is recomputed over the TRUNCATED bytes, so the chunk walk passes
+    // and only the inflate loop can notice the stream never finishes
+    val ihdrEnd = 8 + 8 + 13 + 4
+    val idatLen = ((base(ihdrEnd) & 0xff) << 24) | ((base(ihdrEnd + 1) & 0xff) << 16) |
+      ((base(ihdrEnd + 2) & 0xff) << 8) | (base(ihdrEnd + 3) & 0xff)
+    val half = new Array[Byte](idatLen / 2)
+    System.arraycopy(base, ihdrEnd + 8, half, 0, half.length)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, ihdrEnd)
+    def be(v: Int): Array[Byte] = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    out.write(be(half.length)); out.write("IDAT".getBytes("US-ASCII")); out.write(half)
+    val crc = new java.util.zip.CRC32
+    crc.update("IDAT".getBytes("US-ASCII")); crc.update(half)
+    out.write(be(crc.getValue.toInt))
+    out.write(be(0)); out.write("IEND".getBytes("US-ASCII"))
+    val crc2 = new java.util.zip.CRC32; crc2.update("IEND".getBytes("US-ASCII"))
+    out.write(be(crc2.getValue.toInt))
+    val truncated = out.toByteArray
+    val e = intercept[IllegalArgumentException] { PngCodec.pixelMeans(truncated) }
+    assert(e.getMessage.contains("truncated IDAT"))
+  }
+
   test("multimodal codec seam: an injected codec replaces the stub end-to-end") {
     // a production build swaps StubCodec for a real decoder without
     // touching the plumbing — this pins that every operator honors the

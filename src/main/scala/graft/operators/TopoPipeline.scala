@@ -234,11 +234,6 @@ object TopoPipeline {
 
     val ringsDf = rings(features).cache()
     val cutDf = cutWithPositions(ringsDf, junctionPositions(ringPoints(ringsDf))).cache()
-    // materialize the cut ONCE so the ring explode + junction aggregation
-    // run a single time no matter how many downstream actions consume the
-    // topology (arcs, uses, objects, transform each trigger their own job)
-    prof("cut.count")(cutDf.count())
-    ringsDf.unpersist()
 
     // shared-arc dedup: one row per canonical key, deterministic dense ids.
     // Ids come from a distributed sort + zipWithIndex (not a global-window
@@ -257,8 +252,21 @@ object TopoPipeline {
         it.filter { case (k, _) => val keep = k != last; last = k; keep }
       }.toDF("key", "pts")
     val arcSchema = dedupDf.schema.add("arcId", "long")
+    // zipWithIndex is EAGER — it runs one job to size the partitions, and
+    // that job's map side computes the dedup plan, which reads cutDf and
+    // so MATERIALIZES the cut cache as a side effect. The ring explode +
+    // junction aggregation therefore still run exactly once no matter how
+    // many downstream actions consume the topology, without the separate
+    // cut.count materialization job the build used to launch (one fewer
+    // driver-synchronized job per build — fixture-scale builds are
+    // job-overhead-bound, see BENCH.md round 5).
+    val zipped = prof("dedup.zipWithIndex")(dedupDf.rdd.zipWithIndex())
+    // only safe AFTER the zipWithIndex job: cutDf's plan reads ringsDf
+    // twice (junction side + cut join side), so dropping the rings cache
+    // any earlier would recompute the ring explode
+    ringsDf.unpersist()
     val uniqueArcs = spark.createDataFrame(
-      dedupDf.rdd.zipWithIndex().map { case (r, i) =>
+      zipped.map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
       }, arcSchema)
       .cache()

@@ -430,16 +430,13 @@ object SparkEntry {
     if (v == null) {
       val (polys, _) = dims(spark)
       val water = Ingest.waterPolygons(spark, Fixtures.waterDf(spark))
+      // layer() returns localCheckpoint-ed (materialized, lineage-free)
+      // arcs/arcsQ/uses/objects — no re-cache needed here; checkpointed
+      // blocks are reclaimed by the ContextCleaner when the entry is GC'd
       v = Export.layer(polys, water, "countries", Seq(100L, 101L, 102L, 103L, 104L),
         simplifyDigits = 3, quantize = 1e6, pointLimit = 20,
         relations = Some(Fixtures.relationsDf(spark)), languages = Seq("nl", "en"))
-      v = v.copy(topo = v.topo.copy(arcs = v.topo.arcs.cache(),
-        arcsQ = v.topo.arcsQ.map(_.cache()), uses = v.topo.uses.cache(),
-        objects = v.topo.objects.cache()))
-      evictOthers(topoCache, spark) { lr =>
-        lr.release() // rebboxed + topology internals (incl. arcs/objects)
-        lr.topo.uses.unpersist(); lr.topo.arcsQ.foreach(_.unpersist())
-      }
+      evictOthers(topoCache, spark)(_.release())
       topoCache.put(spark, v)
     }
     v
@@ -455,13 +452,36 @@ object SparkEntry {
     rawTopoCache.synchronized {
       var v = rawTopoCache.get(spark)
       if (v == null) {
-        v = operators.TopoPipeline.topology(
+        val t0 = operators.TopoPipeline.topology(
           Fixtures.splitOctagonsDf(spark), simplifyDigits = 0, quantize = 0)
-        v = v.copy(arcs = v.arcs.cache(), uses = v.uses.cache())
-        evictOthers(rawTopoCache, spark) { t =>
-          t.release(); t.arcs.unpersist(); t.uses.unpersist()
-        }
+        // lineage-free memo tables (same rationale as Export.layer): every
+        // q_topo_arcs_raw action re-planned the whole build otherwise
+        v = t0.copy(arcs = t0.arcs.localCheckpoint(), uses = t0.uses.localCheckpoint(),
+          caches = Nil)
+        t0.release()
+        evictOthers(rawTopoCache, spark)(_.release())
         rawTopoCache.put(spark, v)
+      }
+      v
+    }
+
+  /** Raw split-octagon topology WITH quantization (1e4 grid positions),
+    * still no clip/simplify: feeds q_topo_arcs_raw_q, whose DuckDB oracle
+    * (rawTopoQOracle) replays the P9 quantize/dup-drop/delta stage in
+    * full. Memoized like rawTopo (its arcsQ is the only consumer).
+    */
+  private val rawTopoQCache = new java.util.WeakHashMap[SparkSession, operators.TopoPipeline.Topology]()
+
+  private def rawTopoQ(spark: SparkSession): operators.TopoPipeline.Topology =
+    rawTopoQCache.synchronized {
+      var v = rawTopoQCache.get(spark)
+      if (v == null) {
+        val t0 = operators.TopoPipeline.topology(
+          Fixtures.splitOctagonsDf(spark), simplifyDigits = 0, quantize = 1e4)
+        v = t0.copy(arcsQ = t0.arcsQ.map(_.localCheckpoint()), caches = Nil)
+        t0.release()
+        evictOthers(rawTopoQCache, spark)(_.release())
+        rawTopoQCache.put(spark, v)
       }
       v
     }
@@ -708,6 +728,19 @@ object SparkEntry {
           .toDF("arcId", "n_pts", "minx", "miny", "maxx", "maxy")
           .join(nUses, Seq("arcId"))
       }),
+      // P9 in isolation over the raw fixture: the same topology at
+      // quantize=1e4 — every quantized position, the consecutive-dup drop
+      // and the full delta chain (the `deltas` string IS the encoding)
+      // replayed independently by rawTopoQOracle
+      "q_topo_arcs_raw_q" -> ((s, _) => {
+        import s.implicits._
+        rawTopoQ(s).arcsQ.get.select(col("arcId"), col("qpts"))
+          .as[(Long, Seq[(Int, Int)])]
+          .map { case (id, q) =>
+            (id, q.length.toLong, q.map { case (dx, dy) => s"$dx,$dy" }.mkString(";"))
+          }
+          .toDF("arcId", "n_q", "deltas")
+      }),
       "q_topo_objects" -> ((s, _) => {
         val res = topoCountries(s)
         res.topo.objects.select(col("objId"), col("nPoints"),
@@ -808,6 +841,9 @@ object SparkEntry {
     // raw topology — junction detect + cut + shared-arc dedup recomputed
     // from the INPUT rings (see rawTopoOracle)
     "q_topo_arcs_raw" -> rawTopoOracle,
+    // P9 quantize + delta encode replayed in full over the raw topology
+    // (see rawTopoQOracle — the deltas column IS the encoded chain)
+    "q_topo_arcs_raw_q" -> rawTopoQOracle,
     // streaming PIP must be row-identical to the batch join — same oracle
     "q_stream_pip" ->
       s"""$pipOracleCtes
@@ -1272,7 +1308,12 @@ object SparkEntry {
     *    clip, simplify or quantize every coordinate is an input double, so
     *    the compare is exact (no rounding anywhere).
     */
-  private def rawTopoOracle: String = {
+  /** Shared CTE prefix for the raw-topology oracles: input verts →
+    * junction detect → cut → canonical per-(obj,seg) serialization with
+    * orientation flag (`rv` — the engine's `reversed`), dedup key. Ends at
+    * the `keyed` CTE; both consumers append their own aggregation.
+    */
+  private def rawTopoCtes: String = {
     def d(v: Double): String = java.lang.Double.toString(v)
     // OPEN ring vertices (drop the closing duplicate), in ring order
     val rows = Fixtures.splitOctagons.flatMap { case (objId, ring) =>
@@ -1327,8 +1368,12 @@ object SparkEntry {
        |         count(*) AS n_pts,
        |         min(x) AS minx, min(y) AS miny, max(x) AS maxx, max(y) AS maxy
        |  FROM segpts GROUP BY obj, seg),
-       |keyed AS (SELECT obj, seg, md5(least(fwd, rev)) AS key,
-       |                 n_pts, minx, miny, maxx, maxy FROM canon),
+       |keyed AS (SELECT obj, seg, md5(least(fwd, rev)) AS key, (rev < fwd) AS rv,
+       |                 n_pts, minx, miny, maxx, maxy FROM canon)""".stripMargin
+  }
+
+  private def rawTopoOracle: String =
+    s"""$rawTopoCtes,
        |arcs AS (
        |  SELECT key, any_value(n_pts) AS n_pts, count(*) AS n_uses,
        |         any_value(minx) AS minx, any_value(miny) AS miny,
@@ -1338,7 +1383,70 @@ object SparkEntry {
        |       CAST(n_pts AS BIGINT) AS n_pts, minx, miny, maxx, maxy,
        |       CAST(n_uses AS BIGINT) AS n_uses
        |FROM arcs""".stripMargin
-  }
+
+  /** Independent quantize + delta-encode oracle (q_topo_arcs_raw_q): the
+    * P9 stage (TopoPipeline.topology's arcsQ map) replayed over the raw
+    * split-octagon topology at quantize=1e4. Every pre-quantize coordinate
+    * is an input double and the transform is closed-form, so DuckDB
+    * recomputes the ENTIRE encoded output — per-arc quantized positions,
+    * consecutive-duplicate drop, <2-position fallback, delta chain — and
+    * the compare pins it character-for-character (the deltas column is the
+    * full encoded chain):
+    *
+    *  - the extent is min/max over ALL input vertices (with no simplify,
+    *    the unique arcs' point set is exactly the input vertex set);
+    *  - kx = (1e4 - 1)/(x1 - x0) and the quantized position
+    *    floor((x - x0)*kx + 0.5) replicate the engine's IEEE doubles and
+    *    Java Math.round exactly (both engines: same subtract, multiply,
+    *    floor; DuckDB's round() would differ on half-way cases, so the
+    *    oracle spells out floor(v + 0.5));
+    *  - each canonical arc's point order comes from one representative
+    *    (obj, seg) use flipped by the engine's `reversed` flag (rv);
+    *  - arcIds are the md5-hex rank, as in q_topo_arcs_raw.
+    *
+    * With this green, JTS overlay (clip/buffer(0)) is the ONLY stage of
+    * the topology family without an independent second-engine oracle.
+    */
+  private def rawTopoQOracle: String =
+    s"""$rawTopoCtes,
+       |rep AS (
+       |  SELECT key, obj, seg FROM (
+       |    SELECT key, obj, seg,
+       |           row_number() OVER (PARTITION BY key ORDER BY obj, seg) AS rn
+       |    FROM keyed) WHERE rn = 1),
+       |ext AS (SELECT min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1 FROM verts),
+       |tf AS (SELECT x0, y0,
+       |              CASE WHEN x1 > x0 THEN (10000.0 - 1) / (x1 - x0) ELSE 1.0 END AS kx,
+       |              CASE WHEN y1 > y0 THEN (10000.0 - 1) / (y1 - y0) ELSE 1.0 END AS ky
+       |       FROM ext),
+       |cpts AS (
+       |  SELECT r.key,
+       |         CASE WHEN k2.rv THEN k2.n_pts - 1 - sp.pos ELSE sp.pos END AS cpos,
+       |         CAST(floor((sp.x - tf.x0) * tf.kx + 0.5) AS BIGINT) AS qx,
+       |         CAST(floor((sp.y - tf.y0) * tf.ky + 0.5) AS BIGINT) AS qy
+       |  FROM rep r
+       |  JOIN keyed k2 ON k2.obj = r.obj AND k2.seg = r.seg
+       |  JOIN segpts sp ON sp.obj = r.obj AND sp.seg = r.seg
+       |  CROSS JOIN tf),
+       |ql AS (SELECT key, list(STRUCT_PACK(qx := qx, qy := qy) ORDER BY cpos) AS l
+       |       FROM cpts GROUP BY key),
+       |qd AS (SELECT key, l,
+       |              list_filter(l, (p, i) -> i = 1 OR p != l[i - 1]) AS kept0
+       |       FROM ql),
+       |qk AS (SELECT key,
+       |              CASE WHEN len(kept0) < 2 THEN [l[1], l[len(l)]] ELSE kept0 END AS kept
+       |       FROM qd),
+       |enc AS (
+       |  SELECT key, len(kept) AS n_q,
+       |         array_to_string(list_transform(generate_series(1, len(kept)), i ->
+       |           CASE WHEN i = 1
+       |                THEN CAST(kept[1].qx AS VARCHAR) || ',' || CAST(kept[1].qy AS VARCHAR)
+       |                ELSE CAST(kept[i].qx - kept[i-1].qx AS VARCHAR) || ',' ||
+       |                     CAST(kept[i].qy - kept[i-1].qy AS VARCHAR) END), ';') AS deltas
+       |  FROM qk)
+       |SELECT CAST(row_number() OVER (ORDER BY key) - 1 AS BIGINT) AS arcId,
+       |       CAST(n_q AS BIGINT) AS n_q, deltas
+       |FROM enc""".stripMargin
 
   /** Independent IVF-ANN oracle (q_ann_ivf): the ENTIRE
     * Similarity.ivfTopK chain — seeded init (lowest-√n vec_ids), two

@@ -231,12 +231,31 @@ object Export {
     val rebboxed = clipped
       .withColumn("bbox", graft.functions.GeomExpressions.st_envelope(col("wkb")))
       .cache()
-    val topo = TopoPipeline.topology(rebboxed, simplifyDigits, quantize)
-    val sl = TopoPipeline.slices(topo.objects, pointLimit)
-    // the pre-simplify topology is fully consumed (reconstruct fed the
-    // clip, which rebboxed materializes) — its internals can go now;
-    // rebboxed itself stays until the caller release()s the LayerResult
+    val topo0 = TopoPipeline.topology(rebboxed, simplifyDigits, quantize)
+    // Truncate lineage on the layer's outward tables: every downstream
+    // action on arcs/arcsQ/uses/objects used to drag the full
+    // two-topology lineage through analysis and (on cache-lookup misses)
+    // partial re-execution — a measured ~1-2 s of fixed overhead PER
+    // ACTION at fixture scale (slices alone spent ~3 s on a cached 5-row
+    // table; see BENCH.md round 5). localCheckpoint stores the per-layer
+    // results and frees the plan. Trade-off vs cache(): checkpointed
+    // blocks are not recomputable on executor loss — acceptable for
+    // per-layer EXPORT tables (curated layers are 10^3-10^4 objects;
+    // arcs/uses are the layer's own output size; a lost block fails the
+    // export, which is simply re-run), and exactly the trade Knn already
+    // makes per search round.
+    val topo = topo0.copy(
+      arcs = topo0.arcs.localCheckpoint(),
+      arcsQ = topo0.arcsQ.map(_.localCheckpoint()),
+      uses = topo0.uses.localCheckpoint(),
+      objects = topo0.objects.localCheckpoint(),
+      caches = Nil)
+    // everything outward is materialized — the pre-simplify topology, the
+    // final topology's internals AND rebboxed can all go now
     preTopo.foreach(_.release())
-    LayerResult(layerId, topo, sl, props, caches = Seq(rebboxed))
+    topo0.release()
+    rebboxed.unpersist()
+    val sl = TopoPipeline.slices(topo.objects, pointLimit)
+    LayerResult(layerId, topo, sl, props, caches = Nil)
   }
 }

@@ -808,6 +808,28 @@ object SparkEntry {
           .withColumn("mean_r", round(col("mean_r"), 6))
           .withColumn("mean_g", round(col("mean_g"), 6))
           .withColumn("mean_b", round(col("mean_b"), 6))
+      }),
+      // REAL decode #3, the entropy-coded one: valid baseline JPEGs taken
+      // apart by JpegCodec (T.81 segment walk, canonical Huffman decode
+      // with byte unstuffing, dequant + IDCT, YCbCr->RGB, crop). The
+      // fixture's block-constant + all-ones-quant construction makes the
+      // decode closed-form (JpegSpec pins this exactly vs the JDK's
+      // ImageIO), so the same formula oracle style applies — the SQL
+      // replays block colors through the YCbCr round trip and never
+      // touches a byte of the stream
+      "q_media_jpeg" -> ((s, dir) => {
+        import s.implicits._
+        Fixtures.jpegImages(s, dir)
+          .as[(String, Array[Byte])]
+          .mapPartitions(_.map { case (url, img) =>
+            val meta = operators.JpegCodec.decode(url, img)
+            val (r, g, b) = operators.JpegCodec.pixelMeans(img)
+            (url, meta.width, meta.height, r, g, b)
+          })
+          .toDF("url", "width", "height", "mean_r", "mean_g", "mean_b")
+          .withColumn("mean_r", round(col("mean_r"), 6))
+          .withColumn("mean_g", round(col("mean_g"), 6))
+          .withColumn("mean_b", round(col("mean_b"), 6))
       })
     )
 
@@ -886,6 +908,51 @@ object SparkEntry {
         |       round(avg(CAST((doc_id + 3 * j + 1) % 256 AS DOUBLE)), 6) AS mean_g,
         |       round(avg(CAST((doc_id + 3 * j + 2) % 256 AS DOUBLE)), 6) AS mean_b
         |FROM px GROUP BY url""".stripMargin,
+    // real JPEG decode: the fixture is per-8x8-block-constant with an
+    // all-ones quant table, so the decoded raster is EXACTLY the YCbCr
+    // round trip of the block colors (JpegSpec proves this vs ImageIO).
+    // The oracle replays block colors -> rounded YCbCr -> rounded RGB
+    // (floor(v+0.5) = Java Math.round) weighted by each block's cropped
+    // pixel count — the Huffman decode, dequant, IDCT, upsample and crop
+    // all sit between the bytes and these numbers
+    "q_media_jpeg" ->
+      """WITH d AS (
+        |  SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
+        |         4 + doc_id % 21 AS w, 3 + doc_id % 17 AS h
+        |  FROM documents),
+        |bx_ AS (
+        |  SELECT doc_id, url, w, h,
+        |         unnest(generate_series(0, CAST((w + 7) // 8 - 1 AS BIGINT))) AS bx
+        |  FROM d),
+        |blk AS (
+        |  SELECT doc_id, url, w, h, bx,
+        |         unnest(generate_series(0, CAST((h + 7) // 8 - 1 AS BIGINT))) AS byy
+        |  FROM bx_),
+        |bc AS (
+        |  SELECT url, w, h,
+        |         (least(8 * bx + 8, w) - 8 * bx) * (least(8 * byy + 8, h) - 8 * byy) AS npix,
+        |         CAST((doc_id + 7 * bx + 13 * byy) % 256 AS DOUBLE) AS r,
+        |         CAST((2 * doc_id + 11 * bx + 5 * byy + 3) % 256 AS DOUBLE) AS g,
+        |         CAST((3 * doc_id + 17 * bx + 19 * byy + 6) % 256 AS DOUBLE) AS b
+        |  FROM blk),
+        |ycc AS (
+        |  SELECT url, w, h, npix,
+        |         least(greatest(floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5), 0), 255) AS y,
+        |         least(greatest(floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5), 0), 255) AS cb,
+        |         least(greatest(floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5), 0), 255) AS cr
+        |  FROM bc),
+        |dec AS (
+        |  SELECT url, w, h, npix,
+        |         least(greatest(floor(y + 1.402 * (cr - 128) + 0.5), 0), 255) AS r2,
+        |         least(greatest(floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5), 0), 255) AS g2,
+        |         least(greatest(floor(y + 1.772 * (cb - 128) + 0.5), 0), 255) AS b2
+        |  FROM ycc)
+        |SELECT url, CAST(any_value(w) AS INTEGER) AS width,
+        |       CAST(any_value(h) AS INTEGER) AS height,
+        |       round(sum(npix * r2) / any_value(w * h), 6) AS mean_r,
+        |       round(sum(npix * g2) / any_value(w * h), 6) AS mean_g,
+        |       round(sum(npix * b2) / any_value(w * h), 6) AS mean_b
+        |FROM dec GROUP BY url""".stripMargin,
 
     // cosine oracles carry the engine's zero-norm guard (cosine(0,·)=0.0,
     // never NaN): DuckDB's list_cosine_similarity yields NaN on a zero

@@ -61,8 +61,10 @@ object Multimodal {
     * end-to-end against a DuckDB oracle that recomputes dimensions and
     * per-channel means from the image-generating formula — a parser
     * off-by-one (header skip, channel order, row stride) shows up as a
-    * mean mismatch. Formats that DO need codec libraries (JPEG, audio,
-    * video) remain on `StubCodec` until a real binding is injected.
+    * mean mismatch. PNG ([[PngCodec]]) and baseline JPEG
+    * ([[graft.operators.JpegCodec]]) are likewise genuinely decoded;
+    * only audio/video remain on `StubCodec` until a real binding
+    * (ffmpeg etc.) is injected.
     */
   object PpmCodec extends MediaCodec {
     def decode(url: String, bytes: Array[Byte]): MediaMeta = {

@@ -281,6 +281,36 @@ object Fixtures {
     }.toDF("url", "img")
   }
 
+  /** Valid baseline JPEGs, one per document: per-8x8-block-constant colors
+    * with the all-ones quantization table, which JpegSpec proves decode
+    * EXACTLY to the closed-form YCbCr round trip — so q_media_jpeg's
+    * DuckDB oracle can recompute the decoded channel means from this
+    * formula without parsing a byte. Dims (4+id%21)x(3+id%17) run off the
+    * 8-grid to exercise MCU edge padding + crop.
+    */
+  def jpegImages(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, sfDir).select("doc_id").as[Long].map { id =>
+      val w = (4 + id % 21).toInt
+      val h = (3 + id % 17).toInt
+      val rgb = new Array[Byte](3 * w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val bx = x / 8; val by = y / 8
+          val o = 3 * (y * w + x)
+          rgb(o) = ((id + 7 * bx + 13 * by) % 256).toByte
+          rgb(o + 1) = ((2 * id + 11 * bx + 5 * by + 3) % 256).toByte
+          rgb(o + 2) = ((3 * id + 17 * bx + 19 * by + 6) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      (s"https://example.test/doc/$id", graft.operators.JpegCodec.encode(w, h, rgb))
+    }.toDF("url", "img")
+  }
+
   /** Split-octagon layer: each city's octagon divided into west/east
     * halves sharing the vertical chord between the top (k=2) and bottom
     * (k=6) vertices — the junction / shared-arc fixture for the raw

@@ -37,17 +37,47 @@ object Knn {
     * level+4 rounds suffice); passing an explicit smaller budget that
     * exhausts before every query completes FAILS loudly — a silently
     * truncated search would return wrong neighbors as if definitive.
+    *
+    * `partitionLevel >= 0` pre-partitions the CACHED index by the coarse
+    * level-`partitionLevel` parent cell (repartition + sort-within, same
+    * layout [[writeIndexed]] puts on disk) and filters each round's scan to
+    * the frontier's parent cells BEFORE the join. The in-memory columnar
+    * scan keeps per-batch min/max stats and skips non-matching batches
+    * (`spark.sql.inMemoryColumnarStorage.partitionPruning`, on by
+    * default), so with pcell-clustered batches a round touches only
+    * cached batches near the frontier — the in-memory analogue of
+    * [[knnIndexed]]'s directory pruning — instead of re-scanning the
+    * whole cached table per ring. Default (-1) keeps the plain layout:
+    * one shuffle cheaper to build, right when rounds are few or the
+    * table is small.
     */
   def knn(pages: DataFrame, queries: Seq[Query], k: Int, level: Int = 8,
-          maxRounds: Int = -1): DataFrame = {
+          maxRounds: Int = -1, partitionLevel: Int = -1): DataFrame = {
     val spark = pages.sparkSession
-    val indexed = pages
-      .withColumn("cellId", st_cell_at(col("lon"), col("lat"), level))
-      .select("url", "lon", "lat", "cellId")
-      .cache() // one materialization feeds every round's frontier join
+    val base = pages.withColumn("cellId", st_cell_at(col("lon"), col("lat"), level))
+    val indexed =
+      if (partitionLevel >= 0) {
+        require(partitionLevel <= level,
+          s"partitionLevel $partitionLevel must be <= index level $level")
+        base
+          .withColumn("pcell", st_cell_at(col("lon"), col("lat"), partitionLevel))
+          .select("url", "lon", "lat", "cellId", "pcell")
+          .repartition(col("pcell"))
+          .sortWithinPartitions(col("pcell"), col("cellId"))
+          .cache() // pcell-clustered batches -> per-round batch pruning
+      } else {
+        base.select("url", "lon", "lat", "cellId")
+          .cache() // one materialization feeds every round's frontier join
+      }
     try
-      search(spark, queries, k, level, maxRounds,
-        (probes, _) => indexed.join(broadcast(probes), Seq("cellId")))
+      search(spark, queries, k, level, maxRounds, (probes, cells) => {
+        val source =
+          if (partitionLevel >= 0) {
+            val parents = cells.map(Cell.parent(_, partitionLevel)).distinct
+            indexed.filter(col("pcell").isin(parents: _*))
+          } else indexed
+        source.join(broadcast(probes), Seq("cellId"))
+      })
     finally indexed.unpersist() // result rides checkpointed best-k, not `indexed`
   }
 

@@ -830,6 +830,25 @@ object SparkEntry {
           .withColumn("mean_r", round(col("mean_r"), 6))
           .withColumn("mean_g", round(col("mean_g"), 6))
           .withColumn("mean_b", round(col("mean_b"), 6))
+      }),
+      // REAL decode #4, the audio one: valid PCM WAVE clips parsed by
+      // WavCodec (RIFF chunk walk with word alignment + LIST/INFO skip,
+      // fmt validation, LE 16-bit frame decode). The oracle recomputes
+      // rate/duration/sample stats from the generating formula — the SQL
+      // never parses bytes, so a chunk-walk or endianness bug breaks the
+      // hash
+      "q_media_wav" -> ((s, dir) => {
+        import s.implicits._
+        Fixtures.wavAudio(s, dir)
+          .as[(String, Array[Byte])]
+          .mapPartitions(_.map { case (url, wav) =>
+            val p = operators.WavCodec.parse(url, wav)
+            val (n, mean, meanAbs) = operators.WavCodec.sampleStats(wav)
+            (url, p.sampleRate, n, operators.WavCodec.decode(url, wav).durationMs, mean, meanAbs)
+          })
+          .toDF("url", "sample_rate", "n_samples", "duration_ms", "mean_sample", "mean_abs")
+          .withColumn("mean_sample", round(col("mean_sample"), 6))
+          .withColumn("mean_abs", round(col("mean_abs"), 6))
       })
     )
 
@@ -953,6 +972,30 @@ object SparkEntry {
         |       round(sum(npix * g2) / any_value(w * h), 6) AS mean_g,
         |       round(sum(npix * b2) / any_value(w * h), 6) AS mean_b
         |FROM dec GROUP BY url""".stripMargin,
+    // real WAV decode: rate/frame-count/duration/sample stats recomputed
+    // from the audio generator's formula (rate = 8000 + (id%3)·4000,
+    // n = 40 + id%50, sample k = (id·31 + k·77)%65536 − 32768) — the
+    // RIFF chunk walk, fmt parse and LE16 frame decode all sit between
+    // the bytes and these numbers
+    "q_media_wav" ->
+      """WITH d AS (
+        |  SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
+        |         40 + doc_id % 50 AS n, 8000 + (doc_id % 3) * 4000 AS rate
+        |  FROM documents),
+        |sm AS (
+        |  SELECT doc_id, url, n, rate,
+        |         unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS k
+        |  FROM d),
+        |v AS (
+        |  SELECT url, n, rate,
+        |         CAST((doc_id * 31 + k * 77) % 65536 - 32768 AS BIGINT) AS s
+        |  FROM sm)
+        |SELECT url, CAST(any_value(rate) AS INTEGER) AS sample_rate,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(any_value(n) * 1000 // any_value(rate) AS BIGINT) AS duration_ms,
+        |       round(avg(CAST(s AS DOUBLE)), 6) AS mean_sample,
+        |       round(avg(CAST(abs(s) AS DOUBLE)), 6) AS mean_abs
+        |FROM v GROUP BY url""".stripMargin,
 
     // cosine oracles carry the engine's zero-norm guard (cosine(0,·)=0.0,
     // never NaN): DuckDB's list_cosine_similarity yields NaN on a zero

@@ -311,6 +311,25 @@ object Fixtures {
     }.toDF("url", "img")
   }
 
+  /** Real PCM WAVE audio, one clip per document — deterministic sample
+    * formula so the DuckDB oracle recomputes duration and sample stats
+    * WITHOUT parsing bytes: rate = 8000 + (doc_id%3)·4000, n = 40 +
+    * doc_id%50 frames, sample k = (doc_id·31 + k·77)%65536 − 32768.
+    * Encoded with the LIST/INFO chunk so decoding exercises the RIFF
+    * chunk walk (not a fixed 44-byte header assumption); these are
+    * genuinely valid WAVE files (javax.sound opens them — WavSpec).
+    */
+  def wavAudio(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, sfDir).select("doc_id").as[Long].map { id =>
+      val n = (40 + id % 50).toInt
+      val rate = (8000 + (id % 3) * 4000).toInt
+      val s = Array.tabulate(n)(k => (((id * 31 + k * 77) % 65536) - 32768).toShort)
+      (s"https://example.test/doc/$id",
+        graft.operators.WavCodec.encode(rate, s, withListChunk = true))
+    }.toDF("url", "wav")
+  }
+
   /** Split-octagon layer: each city's octagon divided into west/east
     * halves sharing the vertical chord between the top (k=2) and bottom
     * (k=6) vertices — the junction / shared-arc fixture for the raw

@@ -702,6 +702,27 @@ object SparkEntry {
         Similarity.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L to 9L, 5)),
       "q_ann_ivf" -> ((s, dir) =>
         Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L to 9L, 5)),
+      // toolchain canary (ADVICE r4): q_ann_ivf's oracle equivalence
+      // leans on DuckDB's DECIMAL(38,20) divide-then-cast-to-double
+      // tracking Spark's. Building this canary MEASURED the agreement:
+      // it is 1-ulp-tight, not exact (3 of 448 per-(cluster,dim) means
+      // at sf0.001 differ in the final double bit; ~2300-element groups
+      // diverge more often) — q_ann_ivf stays green because round(cos,6)
+      // and the argmax absorb last-ulp mean noise. The canary therefore
+      // pins the quotient at 12 decimals: tight enough that any SEMANTIC
+      // shift in either engine's decimal cast/sum/divide (scale change,
+      // double fallback, rounding-mode change) fails HERE, loudly and
+      // legibly, instead of as a confusing q_ann_ivf drift; loose enough
+      // that today's benign last-ulp disagreement stays invisible
+      "q_decimal_canary" -> ((s, dir) =>
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") < 256)
+          .select(col("vec_id"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+          .groupBy((col("vec_id") % 7).as("grp"), col("dim"))
+          .agg(round((sum(col("x").cast("decimal(38,20)")) / count(lit(1)))
+            .cast("double"), 12).as("m"),
+            count(lit(1)).as("n"))),
       // P1-P10/E1-E5: topology pipeline — shared-arc dedup, DP simplify,
       // quantize, water clip, greedy slicing (engine-native; golden-tested)
       "q_topo_arcs" -> ((s, _) => {
@@ -849,6 +870,28 @@ object SparkEntry {
           .toDF("url", "sample_rate", "n_samples", "duration_ms", "mean_sample", "mean_abs")
           .withColumn("mean_sample", round(col("mean_sample"), 6))
           .withColumn("mean_abs", round(col("mean_abs"), 6))
+      }),
+      // REAL decode #5, the video one: valid MJPEG AVI containers parsed
+      // by AviCodec (RIFF list walk with word alignment — odd-sized JPEG
+      // frames pad — avih/strh/strf validation, 00dc extraction), every
+      // frame entropy-decoded by JpegCodec. The oracle replays each
+      // frame's block colors through the YCbCr round trip; container
+      // walk, frame count and the full JPEG decode all sit between the
+      // bytes and these numbers
+      "q_media_avi" -> ((s, dir) => {
+        import s.implicits._
+        Fixtures.aviVideos(s, dir)
+          .as[(String, Array[Byte])]
+          .mapPartitions(_.map { case (url, avi) =>
+            val v = operators.AviCodec.parse(url, avi)
+            val (r, g, b) = operators.AviCodec.pixelMeans(avi)
+            (url, v.width, v.height, v.frames.length, v.durationMs, r, g, b)
+          })
+          .toDF("url", "width", "height", "n_frames", "duration_ms",
+            "mean_r", "mean_g", "mean_b")
+          .withColumn("mean_r", round(col("mean_r"), 6))
+          .withColumn("mean_g", round(col("mean_g"), 6))
+          .withColumn("mean_b", round(col("mean_b"), 6))
       })
     )
 
@@ -879,6 +922,19 @@ object SparkEntry {
     // IVF ANN — the full index build (seeded init + 2 Lloyd rounds with
     // DECIMAL-exact means) and probe replayed in SQL (see ivfOracle)
     "q_ann_ivf" -> ivfOracle,
+    // canary for the decimal assumptions ivfOracle documents: if either
+    // engine's DECIMAL(38,20) cast/sum/divide semantics drift, this
+    // 7-row query hash-mismatches first (see the q_decimal_canary
+    // comment in the queries map)
+    "q_decimal_canary" ->
+      """SELECT vec_id % 7 AS grp, CAST(dim AS INTEGER) AS dim,
+        |       round(CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,20))) / count(*) AS DOUBLE), 12) AS m,
+        |       count(*) AS n
+        |FROM (SELECT vec_id,
+        |             unnest(generate_series(0, len(CAST(embedding AS DOUBLE[])) - 1)) AS dim,
+        |             unnest(CAST(embedding AS DOUBLE[])) AS x
+        |      FROM embeddings WHERE vec_id < 256)
+        |GROUP BY 1, 2""".stripMargin,
     // raw topology — junction detect + cut + shared-arc dedup recomputed
     // from the INPUT rings (see rawTopoOracle)
     "q_topo_arcs_raw" -> rawTopoOracle,
@@ -996,6 +1052,53 @@ object SparkEntry {
         |       round(avg(CAST(s AS DOUBLE)), 6) AS mean_sample,
         |       round(avg(CAST(abs(s) AS DOUBLE)), 6) AS mean_abs
         |FROM v GROUP BY url""".stripMargin,
+    // real MJPEG-AVI decode: per-frame block colors replayed through the
+    // rounded YCbCr round trip (same closed form JpegSpec pins vs
+    // ImageIO), weighted by each block's cropped pixel count, averaged
+    // over all frames; duration = nf·µsPerFrame/1000 (µs multiples of
+    // 20000 → exact). The SQL never touches container or stream bytes
+    "q_media_avi" ->
+      """WITH d AS (
+        |  SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
+        |         4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h,
+        |         2 + doc_id % 4 AS nf, 20000 + (doc_id % 3) * 20000 AS uspf
+        |  FROM documents),
+        |fr AS (
+        |  SELECT *, unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS f
+        |  FROM d),
+        |bx_ AS (
+        |  SELECT *, unnest(generate_series(0, CAST((w + 7) // 8 - 1 AS BIGINT))) AS bx
+        |  FROM fr),
+        |blk AS (
+        |  SELECT *, unnest(generate_series(0, CAST((h + 7) // 8 - 1 AS BIGINT))) AS byy
+        |  FROM bx_),
+        |bc AS (
+        |  SELECT url, w, h, nf, uspf,
+        |         (least(8 * bx + 8, w) - 8 * bx) * (least(8 * byy + 8, h) - 8 * byy) AS npix,
+        |         CAST((doc_id + 7 * bx + 13 * byy + 29 * f) % 256 AS DOUBLE) AS r,
+        |         CAST((2 * doc_id + 11 * bx + 5 * byy + 3 + 31 * f) % 256 AS DOUBLE) AS g,
+        |         CAST((3 * doc_id + 17 * bx + 19 * byy + 6 + 37 * f) % 256 AS DOUBLE) AS b
+        |  FROM blk),
+        |ycc AS (
+        |  SELECT url, w, h, nf, uspf, npix,
+        |         least(greatest(floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5), 0), 255) AS y,
+        |         least(greatest(floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5), 0), 255) AS cb,
+        |         least(greatest(floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5), 0), 255) AS cr
+        |  FROM bc),
+        |dec AS (
+        |  SELECT url, w, h, nf, uspf, npix,
+        |         least(greatest(floor(y + 1.402 * (cr - 128) + 0.5), 0), 255) AS r2,
+        |         least(greatest(floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5), 0), 255) AS g2,
+        |         least(greatest(floor(y + 1.772 * (cb - 128) + 0.5), 0), 255) AS b2
+        |  FROM ycc)
+        |SELECT url, CAST(any_value(w) AS INTEGER) AS width,
+        |       CAST(any_value(h) AS INTEGER) AS height,
+        |       CAST(any_value(nf) AS INTEGER) AS n_frames,
+        |       CAST(any_value(nf) * any_value(uspf) // 1000 AS BIGINT) AS duration_ms,
+        |       round(sum(npix * r2) / any_value(nf * w * h), 6) AS mean_r,
+        |       round(sum(npix * g2) / any_value(nf * w * h), 6) AS mean_g,
+        |       round(sum(npix * b2) / any_value(nf * w * h), 6) AS mean_b
+        |FROM dec GROUP BY url""".stripMargin,
 
     // cosine oracles carry the engine's zero-norm guard (cosine(0,·)=0.0,
     // never NaN): DuckDB's list_cosine_similarity yields NaN on a zero
@@ -1572,8 +1675,13 @@ object SparkEntry {
     *    cast goes through the SHORTEST string representation in both
     *    engines (Spark's Cast uses BigDecimal.valueOf(Double.toString);
     *    DuckDB's VARCHAR cast prints the same shortest repr), the sum is
-    *    exact, and the divide-then-cast-to-double agrees at these
-    *    magnitudes (verified row-identical at sf0.001/0.01/0.1);
+    *    exact, and the divide-then-cast-to-double agrees to within 1 ulp
+    *    at these magnitudes (q_decimal_canary MEASURED it: 3 of 448
+    *    cluster-sized per-dim means differ in the last double bit at
+    *    sf0.001 — round(cos, 6) and the argmax absorb that, which is why
+    *    this oracle is row-identical at sf0.001/0.01/0.1; the canary
+    *    pins the arithmetic at 12 decimals so semantic drift in either
+    *    engine fails loudly there first);
     *  - cosine is dot/(|a||b|) with the engine's zero-norm guard; the
     *    final cos rounds to 6, and candidate-set identity (not just
     *    rounded ranks) is what the row hash pins.

@@ -330,6 +330,43 @@ object Fixtures {
     }.toDF("url", "wav")
   }
 
+  /** Real MJPEG-in-AVI video clips, one per document: nf = 2 + id%4
+    * frames of (4 + id%13)×(3 + id%11) pixels at 20000 + (id%3)·20000 µs
+    * per frame, each frame a per-8×8-block-constant baseline JPEG
+    * (all-ones quant — the lossless fixture class JpegSpec pins) with
+    * block color formula r = (id + 7bx + 13by + 29f)%256, g = (2id +
+    * 11bx + 5by + 3 + 31f)%256, b = (3id + 17bx + 19by + 6 + 37f)%256 —
+    * so q_media_avi's oracle recomputes the decoded means per frame from
+    * the formula. Genuinely valid AVI containers (hdrl/movi/idx1).
+    */
+  def aviVideos(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, sfDir).select("doc_id").as[Long].map { id =>
+      val w = (4 + id % 13).toInt
+      val h = (3 + id % 11).toInt
+      val nf = (2 + id % 4).toInt
+      val uspf = 20000L + (id % 3) * 20000L
+      val frames = (0 until nf).map { f =>
+        val rgb = new Array[Byte](3 * w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val bx = x / 8; val by = y / 8
+            val o = 3 * (y * w + x)
+            rgb(o) = ((id + 7 * bx + 13 * by + 29 * f) % 256).toByte
+            rgb(o + 1) = ((2 * id + 11 * bx + 5 * by + 3 + 31 * f) % 256).toByte
+            rgb(o + 2) = ((3 * id + 17 * bx + 19 * by + 6 + 37 * f) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        graft.operators.JpegCodec.encode(w, h, rgb)
+      }
+      (s"https://example.test/doc/$id", graft.operators.AviCodec.encode(w, h, uspf, frames))
+    }.toDF("url", "avi")
+  }
+
   /** Split-octagon layer: each city's octagon divided into west/east
     * halves sharing the vertical chord between the top (k=2) and bottom
     * (k=6) vertices — the junction / shared-arc fixture for the raw

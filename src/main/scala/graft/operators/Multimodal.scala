@@ -10,11 +10,15 @@ import org.apache.spark.sql.types._
   * analogue of `mapInPandas` batches: one iterator pass, no shuffle, schema
   * declared up front).
   *
-  * NOTE: real image/audio codecs are not in this container — the decode
-  * step is a clearly-marked DETERMINISTIC STUB (`fakeDecode`) that derives
-  * metadata/features purely from the bytes. The Spark-side plumbing —
-  * schema, batching, partitioning, null handling — is real and tested; a
-  * production build swaps `fakeDecode` for an actual codec.
+  * NOTE: the container has no codec libraries, so this library carries
+  * its OWN real decoders written from the public format specs — PPM
+  * ([[Multimodal.PpmCodec]]), PNG ([[Multimodal.PngCodec]]), baseline
+  * JPEG ([[JpegCodec]]), PCM WAVE audio ([[WavCodec]]) and MJPEG-AVI
+  * video ([[AviCodec]]) — each oracle-checked end-to-end. The generic
+  * `q_media_meta`/`q_media_frames` plumbing queries over the synthetic
+  * `pages` payloads (which are NOT valid media files) keep the
+  * deterministic `fakeDecode` stub so the batching/schema/null path is
+  * verified independently of any format.
   */
 object Multimodal {
 
@@ -61,10 +65,13 @@ object Multimodal {
     * end-to-end against a DuckDB oracle that recomputes dimensions and
     * per-channel means from the image-generating formula — a parser
     * off-by-one (header skip, channel order, row stride) shows up as a
-    * mean mismatch. PNG ([[PngCodec]]) and baseline JPEG
-    * ([[graft.operators.JpegCodec]]) are likewise genuinely decoded;
-    * only audio/video remain on `StubCodec` until a real binding
-    * (ffmpeg etc.) is injected.
+    * mean mismatch. PNG ([[PngCodec]]), baseline JPEG
+    * ([[graft.operators.JpegCodec]]), PCM WAVE audio
+    * ([[graft.operators.WavCodec]]) and MJPEG-AVI video
+    * ([[graft.operators.AviCodec]]) are likewise genuinely decoded — all
+    * four media kinds have a real codec; only entropy-coded audio
+    * (MP3/AAC) and inter-coded video (H.264…) still need an external
+    * binding injected through this seam.
     */
   object PpmCodec extends MediaCodec {
     def decode(url: String, bytes: Array[Byte]): MediaMeta = {

@@ -892,6 +892,31 @@ object SparkEntry {
           .withColumn("mean_r", round(col("mean_r"), 6))
           .withColumn("mean_g", round(col("mean_g"), 6))
           .withColumn("mean_b", round(col("mean_b"), 6))
+      }),
+      // frame SELECTION through the real video path: sample the frame at
+      // the clip midpoint (ts = duration/2 → frameIndex → JPEG decode of
+      // just that frame). The oracle derives the selected index in closed
+      // form (nf//2 — exact at the fixture's µs-per-frame values) and
+      // replays only that frame's block colors, so a timestamp→frame
+      // off-by-one lands on a different frame's colors and breaks the hash
+      "q_media_avi_frame" -> ((s, dir) => {
+        import s.implicits._
+        Fixtures.aviVideos(s, dir)
+          .as[(String, Array[Byte])]
+          .mapPartitions(_.map { case (url, avi) =>
+            val v = operators.AviCodec.parse(url, avi)
+            val f = operators.AviCodec.frameIndex(v, v.durationMs / 2)
+            val px = operators.JpegCodec.pixels(v.frames(f))
+            var r = 0L; var g = 0L; var b = 0L
+            var i = 0
+            while (i < px.length) { r += px(i) & 0xff; g += px(i + 1) & 0xff; b += px(i + 2) & 0xff; i += 3 }
+            val n = px.length / 3
+            (url, f, r.toDouble / n, g.toDouble / n, b.toDouble / n)
+          })
+          .toDF("url", "frame_idx", "mean_r", "mean_g", "mean_b")
+          .withColumn("mean_r", round(col("mean_r"), 6))
+          .withColumn("mean_g", round(col("mean_g"), 6))
+          .withColumn("mean_b", round(col("mean_b"), 6))
       })
     )
 
@@ -1098,6 +1123,45 @@ object SparkEntry {
         |       round(sum(npix * r2) / any_value(nf * w * h), 6) AS mean_r,
         |       round(sum(npix * g2) / any_value(nf * w * h), 6) AS mean_g,
         |       round(sum(npix * b2) / any_value(nf * w * h), 6) AS mean_b
+        |FROM dec GROUP BY url""".stripMargin,
+    // midpoint frame selection: ts = duration/2 maps to frame nf//2 at
+    // the fixture's frame timings (µsPerFrame multiples of 2000 make the
+    // arithmetic exact); only that frame's block colors are replayed
+    "q_media_avi_frame" ->
+      """WITH d AS (
+        |  SELECT doc_id, 'https://example.test/doc/' || doc_id AS url,
+        |         4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h,
+        |         (2 + doc_id % 4) // 2 AS f
+        |  FROM documents),
+        |bx_ AS (
+        |  SELECT *, unnest(generate_series(0, CAST((w + 7) // 8 - 1 AS BIGINT))) AS bx
+        |  FROM d),
+        |blk AS (
+        |  SELECT *, unnest(generate_series(0, CAST((h + 7) // 8 - 1 AS BIGINT))) AS byy
+        |  FROM bx_),
+        |bc AS (
+        |  SELECT url, w, h, f,
+        |         (least(8 * bx + 8, w) - 8 * bx) * (least(8 * byy + 8, h) - 8 * byy) AS npix,
+        |         CAST((doc_id + 7 * bx + 13 * byy + 29 * f) % 256 AS DOUBLE) AS r,
+        |         CAST((2 * doc_id + 11 * bx + 5 * byy + 3 + 31 * f) % 256 AS DOUBLE) AS g,
+        |         CAST((3 * doc_id + 17 * bx + 19 * byy + 6 + 37 * f) % 256 AS DOUBLE) AS b
+        |  FROM blk),
+        |ycc AS (
+        |  SELECT url, w, h, f, npix,
+        |         least(greatest(floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5), 0), 255) AS y,
+        |         least(greatest(floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5), 0), 255) AS cb,
+        |         least(greatest(floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5), 0), 255) AS cr
+        |  FROM bc),
+        |dec AS (
+        |  SELECT url, w, h, f, npix,
+        |         least(greatest(floor(y + 1.402 * (cr - 128) + 0.5), 0), 255) AS r2,
+        |         least(greatest(floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5), 0), 255) AS g2,
+        |         least(greatest(floor(y + 1.772 * (cb - 128) + 0.5), 0), 255) AS b2
+        |  FROM ycc)
+        |SELECT url, CAST(any_value(f) AS INTEGER) AS frame_idx,
+        |       round(sum(npix * r2) / any_value(w * h), 6) AS mean_r,
+        |       round(sum(npix * g2) / any_value(w * h), 6) AS mean_g,
+        |       round(sum(npix * b2) / any_value(w * h), 6) AS mean_b
         |FROM dec GROUP BY url""".stripMargin,
 
     // cosine oracles carry the engine's zero-norm guard (cosine(0,·)=0.0,

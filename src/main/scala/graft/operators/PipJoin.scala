@@ -223,7 +223,11 @@ object PipJoin {
     // pass 2: in-partition running sum; keep the prefix whose INCLUSIVE
     // cumulative bytes fit the budget. (Prefix semantics: selection stops
     // at the first relation that overflows — a cumulative-sum rule every
-    // partition can evaluate from its offset alone.)
+    // partition can evaluate from its offset alone. DELIBERATE trade-off
+    // vs first-fit, ADVICE r4: one oversized high-rank relation can push
+    // the whole tail to the shuffle path and strand budget — accepted,
+    // because first-fit needs kept-bytes-only offsets, which are not
+    // partition-local, and output rows are identical on either path.)
     val hot: Array[Long] = ranked.rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var run = offsets(pid)

@@ -486,6 +486,26 @@ object SparkEntry {
       v
     }
 
+  /** Session-memoized DP-stage topology: the split-rectangle fixture at
+    * simplifyDigits=2 (tolerance 10⁻²), no quantize — the subject of
+    * q_topo_arcs_dp's recursive-CTE Douglas-Peucker replay.
+    */
+  private val dpTopoCache = new java.util.WeakHashMap[SparkSession, operators.TopoPipeline.Topology]()
+
+  private def dpTopo(spark: SparkSession): operators.TopoPipeline.Topology =
+    dpTopoCache.synchronized {
+      var v = dpTopoCache.get(spark)
+      if (v == null) {
+        val t0 = operators.TopoPipeline.topology(
+          Fixtures.dpRectsDf(spark), simplifyDigits = 2, quantize = 0)
+        v = t0.copy(arcs = t0.arcs.localCheckpoint(), caches = Nil)
+        t0.release()
+        evictOthers(dpTopoCache, spark)(_.release())
+        dpTopoCache.put(spark, v)
+      }
+      v
+    }
+
   /** Jaccard pairs + near-dup clustering memoized per (session, sfDir) —
     * q_jaccard_pairs, q_dedup_clusters and q_dedup_canonical share one
     * pair computation and one clustering run (session-granularity reuse,
@@ -749,6 +769,19 @@ object SparkEntry {
           .toDF("arcId", "n_pts", "minx", "miny", "maxx", "maxy")
           .join(nUses, Seq("arcId"))
       }),
+      // DP in isolation over the jittered split-rectangle fixture: the
+      // per-arc Douglas-Peucker keep set (tolerance 1e-2) with every
+      // surviving coordinate an untouched input double — replayed
+      // interval-for-interval by dpTopoOracle's recursive CTE
+      "q_topo_arcs_dp" -> ((s, _) => {
+        import s.implicits._
+        dpTopo(s).arcs.select(col("arcId"), col("pts"))
+          .as[(Long, Seq[(Double, Double)])]
+          .flatMap { case (id, pts) =>
+            pts.iterator.zipWithIndex.map { case ((x, y), i) => (id, i.toLong, x, y) }
+          }
+          .toDF("arcId", "pos", "x", "y")
+      }),
       // P9 in isolation over the raw fixture: the same topology at
       // quantize=1e4 — every quantized position, the consecutive-dup drop
       // and the full delta chain (the `deltas` string IS the encoding)
@@ -966,6 +999,11 @@ object SparkEntry {
     // P9 quantize + delta encode replayed in full over the raw topology
     // (see rawTopoQOracle — the deltas column IS the encoded chain)
     "q_topo_arcs_raw_q" -> rawTopoQOracle,
+    // P5/P8 Douglas-Peucker replayed interval-for-interval by a
+    // recursive CTE over the jittered split-rectangle fixture (see
+    // dpTopoOracle) — with this green only the JTS overlay clip remains
+    // without an independent oracle
+    "q_topo_arcs_dp" -> dpTopoOracle,
     // streaming PIP must be row-identical to the batch join — same oracle
     "q_stream_pip" ->
       s"""$pipOracleCtes
@@ -1590,13 +1628,25 @@ object SparkEntry {
     * orientation flag (`rv` — the engine's `reversed`), dedup key. Ends at
     * the `keyed` CTE; both consumers append their own aggregation.
     */
-  private def rawTopoCtes: String = {
-    def d(v: Double): String = java.lang.Double.toString(v)
+  private def rawTopoCtes: String = rawTopoCtesFor(Fixtures.splitOctagons)
+
+  /** The same CTE prefix over an arbitrary ring fixture (the DP oracle
+    * runs it over [[Fixtures.dpRects]]).
+    */
+  private def rawTopoCtesFor(fix: Seq[(Long, IndexedSeq[(Double, Double)])]): String = {
+    // Literals are emitted as QUOTED strings and parsed via
+    // CAST(VARCHAR AS DOUBLE): a bare decimal literal inside VALUES
+    // unifies the column to a wide DECIMAL whose DECIMAL→DOUBLE
+    // conversion is not correctly rounded (observed 1-ulp drift, e.g.
+    // 139.6833984375 → 0x…667 instead of the nearest 0x…666), while
+    // string→double parsing is — so this is the only way the oracle sees
+    // bit-identical input doubles on non-dyadic fixtures like dpRects.
+    def d(v: Double): String = "'" + java.lang.Double.toString(v) + "'"
     // OPEN ring vertices (drop the closing duplicate), in ring order
-    val rows = Fixtures.splitOctagons.flatMap { case (objId, ring) =>
+    val rows = fix.flatMap { case (objId, ring) =>
       ring.dropRight(1).zipWithIndex.map { case ((x, y), i) => s"($objId, $i, ${d(x)}, ${d(y)})" }
     }.mkString(",\n    ")
-    val maxN = Fixtures.splitOctagons.map(_._2.length).max // closed length ≥ open+1
+    val maxN = fix.map(_._2.length).max // closed length ≥ open+1
     s"""WITH verts AS (SELECT CAST(obj AS BIGINT) AS obj, i,
        |                      CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
        |               FROM (VALUES
@@ -1724,6 +1774,99 @@ object SparkEntry {
        |SELECT CAST(row_number() OVER (ORDER BY key) - 1 AS BIGINT) AS arcId,
        |       CAST(n_q AS BIGINT) AS n_q, deltas
        |FROM enc""".stripMargin
+
+  /** Independent Douglas-Peucker oracle (q_topo_arcs_dp): the P5/P8 DP
+    * simplification stage (TopoPipeline.topology's per-arc
+    * `Algorithms.douglasPeucker` at tolerance 10⁻²) replayed in full by a
+    * DuckDB recursive CTE over the split-rectangle fixture
+    * ([[Fixtures.dpRects]] — jittered so the keep/drop decision is
+    * nontrivial on every boundary arc). The walk carries each arc's
+    * interval work-list as a list column (the coverOracle technique) and
+    * pops one interval per step:
+    *
+    *  - the split point replicates the engine's argmax with its
+    *    first-index tie-break (`d > maxD` keeps the FIRST maximum →
+    *    ORDER BY d DESC, i ASC LIMIT 1);
+    *  - children with no interior (hi = lo+1) are filtered at push time
+    *    (the engine pops and no-ops them; same keep set);
+    *  - kept coordinates are INPUT doubles passed through untouched, so
+    *    the compare is exact — only the keep-set decision involves
+    *    arithmetic. One documented seam: the engine's point-to-segment
+    *    distance ends in Math.hypot, the SQL in sqrt(dx²+dy²); they can
+    *    differ in the last ulp, which could flip a comparison only if a
+    *    distance lands within ~1 ulp of the tolerance or of another
+    *    point's distance — the jittered fixture keeps every margin ≳1e-3,
+    *    and the replay is deterministic (fixture-driven, sf-independent);
+    *  - arcIds are the md5-hex rank, as in q_topo_arcs_raw; positions are
+    *    canonical-orientation ranks of the kept points.
+    *
+    * With this green, every stage of the topology family EXCEPT the JTS
+    * overlay clip (difference/buffer(0) robust noding — not replayable by
+    * a second engine) has an independent oracle: junction/cut/dedup
+    * (q_topo_arcs_raw), DP simplify (this), quantize+delta
+    * (q_topo_arcs_raw_q), objects/slices/export arithmetic
+    * (q_topo_objects/q_topo_slices).
+    */
+  private def dpTopoOracle: String = {
+    val tol = java.lang.Double.toString(math.pow(10, -2)) // bit-exact engine tolerance
+    val dExpr =
+      """sqrt(pow(c.x - (a.x + greatest(0.0, least(1.0,
+        |               ((c.x - a.x) * (b.x - a.x) + (c.y - a.y) * (b.y - a.y)) /
+        |               ((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)))) * (b.x - a.x)), 2) +
+        |     pow(c.y - (a.y + greatest(0.0, least(1.0,
+        |               ((c.x - a.x) * (b.x - a.x) + (c.y - a.y) * (b.y - a.y)) /
+        |               ((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)))) * (b.y - a.y)), 2))""".stripMargin
+    // the shared prefix opens with WITH; the walk CTE needs RECURSIVE
+    s"""${rawTopoCtesFor(Fixtures.dpRects).replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |rep AS (
+       |  SELECT key, obj, seg FROM (
+       |    SELECT key, obj, seg,
+       |           row_number() OVER (PARTITION BY key ORDER BY obj, seg) AS rn
+       |    FROM keyed) WHERE rn = 1),
+       |cpts AS (
+       |  SELECT r.key,
+       |         CAST(CASE WHEN k2.rv THEN k2.n_pts - 1 - sp.pos ELSE sp.pos END AS INTEGER) AS cpos,
+       |         sp.x, sp.y
+       |  FROM rep r
+       |  JOIN keyed k2 ON k2.obj = r.obj AND k2.seg = r.seg
+       |  JOIN segpts sp ON sp.obj = r.obj AND sp.seg = r.seg),
+       |alen AS (SELECT key, count(*) AS n FROM cpts GROUP BY key),
+       |walk(key, stack, keep) AS (
+       |  SELECT key,
+       |         CASE WHEN n > 2
+       |              THEN [STRUCT_PACK(lo := 0, hi := CAST(n - 1 AS INTEGER))]
+       |              ELSE CAST([] AS STRUCT(lo INTEGER, hi INTEGER)[]) END,
+       |         [0, CAST(n - 1 AS INTEGER)]
+       |  FROM alen
+       |  UNION ALL
+       |  SELECT w.key,
+       |         list_concat(q.rest,
+       |           CASE WHEN m.d > $tol
+       |                THEN list_filter([STRUCT_PACK(lo := q.lo, hi := m.i),
+       |                                  STRUCT_PACK(lo := m.i, hi := q.hi)],
+       |                                 s -> s.hi > s.lo + 1)
+       |                ELSE CAST([] AS STRUCT(lo INTEGER, hi INTEGER)[]) END),
+       |         CASE WHEN m.d > $tol THEN list_append(w.keep, m.i) ELSE w.keep END
+       |  FROM walk w,
+       |  LATERAL (SELECT w.stack[1].lo AS lo, w.stack[1].hi AS hi,
+       |                  array_slice(w.stack, 2, len(w.stack)) AS rest) q,
+       |  LATERAL (SELECT c.cpos AS i,
+       |                  $dExpr AS d
+       |           FROM cpts c
+       |           JOIN cpts a ON a.key = w.key AND a.cpos = q.lo
+       |           JOIN cpts b ON b.key = w.key AND b.cpos = q.hi
+       |           WHERE c.key = w.key AND c.cpos > q.lo AND c.cpos < q.hi
+       |           ORDER BY d DESC, i ASC LIMIT 1) m
+       |  WHERE len(w.stack) > 0),
+       |kept AS (SELECT key, unnest(keep) AS i FROM walk WHERE len(stack) = 0),
+       |ids AS (SELECT key, row_number() OVER (ORDER BY key) - 1 AS arcId FROM alen)
+       |SELECT CAST(d.arcId AS BIGINT) AS arcId,
+       |       CAST(row_number() OVER (PARTITION BY k.key ORDER BY k.i) - 1 AS BIGINT) AS pos,
+       |       c.x, c.y
+       |FROM kept k
+       |JOIN cpts c ON c.key = k.key AND c.cpos = k.i
+       |JOIN ids d ON d.key = k.key""".stripMargin
+  }
 
   /** Independent IVF-ANN oracle (q_ann_ivf): the ENTIRE
     * Similarity.ivfTopK chain — seeded init (lowest-√n vec_ids), two

@@ -380,6 +380,51 @@ object Fixtures {
         (601L + 2 * c, IndexedSeq(o(6), o(7), o(0), o(1), o(2), o(6))))
     }
 
+  /** Split-rectangle fixture for the Douglas-Peucker-stage oracle
+    * (q_topo_arcs_dp): per city, two half rings sharing the vertical
+    * chord between (cx, cy+1) and (cx, cy−1), every edge subdivided into
+    * power-of-two steps with small dyadic perpendicular jitter
+    * (±20/1024 ≈ ±0.0195) so DP at tolerance 10⁻² makes a NONTRIVIAL
+    * keep/drop decision per interior vertex — some vertices survive,
+    * some drop, varying by city and edge (TopoPipelineSpec pins that
+    * both outcomes occur). Chord subpoints use a formula shared by both
+    * halves, so the chord dedups into one shared arc exactly like the
+    * octagon fixture. objIds 700+2c west, 701+2c east; rings CLOSED.
+    */
+  lazy val dpRects: Seq[(Long, IndexedSeq[(Double, Double)])] = {
+    def jit(c: Int, e: Int, t: Int): Double =
+      (((t * 53 + e * 17 + c * 29) % 41) - 20) / 1024.0
+    cities.zipWithIndex.flatMap { case ((_, cx, cy), c) =>
+      val pTop = (cx, cy + 1.0)
+      val pBot = (cx, cy - 1.0)
+      // chord interior, ascending y (t = 1..7), shared verbatim by both halves
+      val chordUp = (1 to 7).map(t => (cx + jit(c, 6, t), cy - 1.0 + t / 4.0))
+      val topW = (1 to 7).map(t => (cx - t / 4.0, cy + 1.0 + jit(c, 0, t)))
+      val westE = (1 to 3).map(t => (cx - 2.0 + jit(c, 1, t), cy + 1.0 - t / 2.0))
+      val botW = (1 to 7).map(t => (cx - 2.0 + t / 4.0, cy - 1.0 + jit(c, 2, t)))
+      val botE = (1 to 7).map(t => (cx + t / 4.0, cy - 1.0 + jit(c, 3, t)))
+      val eastE = (1 to 3).map(t => (cx + 2.0 + jit(c, 4, t), cy - 1.0 + t / 2.0))
+      val topE = (1 to 7).map(t => (cx + 2.0 - t / 4.0, cy + 1.0 + jit(c, 5, t)))
+      val west = (IndexedSeq(pTop) ++ topW ++ IndexedSeq((cx - 2.0, cy + 1.0)) ++ westE ++
+        IndexedSeq((cx - 2.0, cy - 1.0)) ++ botW ++ IndexedSeq(pBot) ++ chordUp) :+ pTop
+      val east = (IndexedSeq(pTop) ++ chordUp.reverse ++ IndexedSeq(pBot) ++ botE ++
+        IndexedSeq((cx + 2.0, cy - 1.0)) ++ eastE ++ IndexedSeq((cx + 2.0, cy + 1.0)) ++ topE) :+ pTop
+      Seq((700L + 2 * c, west), (701L + 2 * c, east))
+    }
+  }
+
+  /** dpRects as a topology-ready feature table (objId, wkb, bbox). */
+  def dpRectsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    dpRects.map { case (id, ring) =>
+      val xs = ring.map(_._1); val ys = ring.map(_._2)
+      (id, graft.geom.Jts.toWkb(graft.geom.Jts.polygon(ring)),
+        xs.min, ys.min, xs.max, ys.max)
+    }.toDF("objId", "wkb", "minx", "miny", "maxx", "maxy")
+      .withColumn("bbox", struct(col("minx"), col("miny"), col("maxx"), col("maxy")))
+      .select("objId", "wkb", "bbox")
+  }
+
   /** splitOctagons as a topology-ready feature table (objId, wkb, bbox). */
   def splitOctagonsDf(spark: SparkSession): DataFrame = {
     import spark.implicits._

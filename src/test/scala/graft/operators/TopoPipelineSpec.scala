@@ -216,4 +216,33 @@ class TopoPipelineSpec extends SparkTestBase {
     val row = named.filter(col("relId") === 100L).select("name", "name_nl").head()
     assert(row.getString(0) == "country_brussels" && row.getString(1) == "land_brussels")
   }
+
+  test("dpRects fixture: DP at 1e-2 keeps AND drops on every long arc, pins kept coords") {
+    // the q_topo_arcs_dp subject: same build twice, with and without DP —
+    // arc keys hash the PRE-simplify canonical serialization, so arcIds
+    // line up between the two builds and per-arc keep counts compare 1:1
+    val raw = TopoPipeline.topology(Fixtures.dpRectsDf(spark), 0, 0)
+    val simp = TopoPipeline.topology(Fixtures.dpRectsDf(spark), simplifyDigits = 2, quantize = 0)
+    val rawPts = raw.arcs.select("arcId", "pts")
+      .as[(Long, Seq[(Double, Double)])].collect().toMap
+    val simpPts = simp.arcs.select("arcId", "pts")
+      .as[(Long, Seq[(Double, Double)])].collect().toMap
+    // 5 cities x (west half, east half, shared chord) + 1 extra arc from the
+    // genuine cross-city junction at (2.35, 49.85): the Paris chord top IS a
+    // vertex of Brussels's west-half bottom edge corner, splitting one arc
+    assert(rawPts.size == 16, s"expected 16 arcs, got ${rawPts.size}")
+    assert(simpPts.keySet == rawPts.keySet, "DP must not add/remove/reorder arcs")
+    simpPts.foreach { case (id, sp) =>
+      val rp = rawPts(id)
+      // endpoints pinned, kept points an ORDERED SUBSEQUENCE of raw input
+      assert(sp.head == rp.head && sp.last == rp.last, s"arc $id endpoints moved")
+      val it = rp.iterator
+      assert(sp.forall(p => it.contains(p)), s"arc $id kept a non-input or out-of-order point")
+      if (rp.length >= 9) { // every edge-subdivided arc: nontrivial BOTH ways
+        assert(sp.length > 2, s"arc $id dropped all interior points")
+        assert(sp.length < rp.length, s"arc $id kept all interior points")
+      }
+    }
+    raw.release(); simp.release()
+  }
 }

@@ -686,6 +686,41 @@ object SparkEntry {
         Ingest.waterPolygons(s, Fixtures.waterDf(s))
           .select(col("id"),
             round(graft.functions.GeomExpressions.st_area(col("wkb")), 9).as("area"))),
+      // S5 from REAL bytes: the same water pipeline, but sourced from an
+      // actual ESRI .shp/.shx pair (written once to fingerprint-keyed
+      // scratch, then range-read distributed via the .shx index —
+      // sources.Shapefile). Record indices are remapped to fixture ids by
+      // write order so the oracle is waterOracle VERBATIM: binary file →
+      // distributed decode → Visvalingam + winding classify + assembly
+      // must be row-identical to the fixture-table path
+      "q_shp_water" -> ((s, dir) => {
+        import s.implicits._
+        val base = shpScratch(dir) + "/water"
+        val fid = Fixtures.osm._4.map(_.id).zipWithIndex
+          .map { case (f, i) => (i.toLong, f) }.toDF("id", "fid")
+        val decoded = sources.Shapefile.read(s, base)
+          .join(broadcast(fid), Seq("id"))
+          .select(col("fid").as("id"), col("rings"))
+        Ingest.waterPolygons(s, decoded)
+          .select(col("id"),
+            round(graft.functions.GeomExpressions.st_area(col("wkb")), 9).as("area"))
+      }),
+      // the decode stage in isolation: every (record, part, pos) coordinate
+      // out of the binary file, pinned double-for-double by a VALUES oracle
+      // over the same fixture data (shpDecodeOracle) — the f64-LE round
+      // trip through the file must be exact
+      "q_shp_decode" -> ((s, dir) => {
+        import s.implicits._
+        val base = shpScratch(dir) + "/decode"
+        sources.Shapefile.read(s, base)
+          .as[(Long, Seq[Seq[(Double, Double)]])]
+          .flatMap { case (id, rings) =>
+            for { (ring, pi) <- rings.iterator.zipWithIndex
+                  ((x, y), pos) <- ring.iterator.zipWithIndex }
+              yield (id, pi.toLong, pos.toLong, x, y)
+          }
+          .toDF("id", "part", "pos", "x", "y")
+      }),
       // E6: vector→raster at a fixed level
       "q_raster_cells" -> ((s, _) => {
         val (polys, _) = dims(s)
@@ -977,6 +1012,12 @@ object SparkEntry {
     // water import — Visvalingam replayed removal-for-removal over the
     // INPUT shapefile parts, then shoelace classify + area (see waterOracle)
     "q_water" -> waterOracle,
+    // the same pipeline fed from a REAL .shp file must be row-identical —
+    // the oracle is shared verbatim
+    "q_shp_water" -> waterOracle,
+    // raw shapefile decode: every (record, part, pos) coordinate from the
+    // binary file vs the written fixture rows (see shpDecodeOracle)
+    "q_shp_decode" -> shpDecodeOracle,
     // IVF ANN — the full index build (seeded init + 2 Lloyd rounds with
     // DECIMAL-exact means) and probe replayed in SQL (see ivfOracle)
     "q_ann_ivf" -> ivfOracle,
@@ -2374,6 +2415,50 @@ object SparkEntry {
     * stale one).
     */
   private def knnIndexPath(sfDir: String): String = scratchRoot("knnidx", sfDir)
+
+  /** The q_shp_decode shapefile's records: the water fixture's parts plus
+    * every dpRects ring as a single-part record — degenerate 2-point
+    * parts, multi-ring records and non-dyadic jittered doubles all pass
+    * through the f64-LE file layer.
+    */
+  private def shpDecodeRecords: Seq[Seq[Seq[(Double, Double)]]] =
+    Fixtures.osm._4.map(_.rings) ++
+      Fixtures.dpRects.map { case (_, ring) => Seq(ring: Seq[(Double, Double)]) }
+
+  /** DONE-gated scratch dir holding the real .shp/.shx pairs the
+    * q_shp_* queries read: `water` (exactly the fixture water records)
+    * and `decode` (shpDecodeRecords). Built once per fixture fingerprint.
+    */
+  private def shpScratch(sfDir: String): String = {
+    val root = scratchRoot("shp", sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "DONE")))
+      buildScratch(root) { work =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
+        sources.Shapefile.write(Fixtures.osm._4.map(_.rings), s"$work/water")
+        sources.Shapefile.write(shpDecodeRecords, s"$work/decode")
+      }
+    root
+  }
+
+  /** Independent decode oracle (q_shp_decode): what the binary file MUST
+    * contain is fully determined by the fixture rows that were written,
+    * so the oracle enumerates them as VALUES (quoted-string doubles —
+    * same correct-rounding rationale as rawTopoCtesFor) and the compare
+    * pins every decoded coordinate bit-for-bit.
+    */
+  private def shpDecodeOracle: String = {
+    val rows = (for {
+      (rec, ri) <- shpDecodeRecords.zipWithIndex
+      (ring, pi) <- rec.zipWithIndex
+      ((x, y), pos) <- ring.zipWithIndex
+    } yield s"($ri, $pi, $pos, '$x', '$y')").mkString(",\n    ")
+    s"""SELECT CAST(id AS BIGINT) AS id, CAST(part AS BIGINT) AS part,
+       |       CAST(pos AS BIGINT) AS pos,
+       |       CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+       |FROM (VALUES
+       |    $rows
+       |  ) AS t(id, part, pos, x, y)""".stripMargin
+  }
 
   private def langProfileValues: String =
     operators.TextOps.langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>

@@ -721,6 +721,47 @@ object SparkEntry {
           }
           .toDF("id", "part", "pos", "x", "y")
       }),
+      // S1 from REAL bytes: distributed OSM PBF decode (sources.OsmPbf —
+      // blob-range parallelism over zlib PrimitiveBlocks, DenseNodes
+      // delta chains). Decode oracles pin every entity against the
+      // written fixture (coordinates via the closed-form nanodegree
+      // quantization, bit-exact here because the reader's division
+      // decode is correctly rounded and fixture nodes sit on the 1e-6
+      // grid); q_pbf_polygons then runs the WHOLE S1→G5 chain from the
+      // binary file and shares polygonsOracle verbatim
+      "q_pbf_nodes" -> ((s, dir) =>
+        sources.OsmPbf.nodes(s, pbfScratch(dir) + "/fixture.osm.pbf")),
+      "q_pbf_ways" -> ((s, dir) => {
+        import s.implicits._
+        sources.OsmPbf.ways(s, pbfScratch(dir) + "/fixture.osm.pbf")
+          .as[(Long, Seq[Long])]
+          .flatMap { case (id, refs) =>
+            refs.iterator.zipWithIndex.map { case (r, i) => (id, i.toLong, r) }
+          }.toDF("id", "pos", "ref")
+      }),
+      "q_pbf_rels" -> ((s, dir) => {
+        import s.implicits._
+        sources.OsmPbf.relations(s, pbfScratch(dir) + "/fixture.osm.pbf")
+          .select(col("id"), posexplode(col("members")))
+          .select(col("id"), col("pos").cast("long").as("seq"),
+            col("col.id").as("mid"), col("col.type").as("mtype"), col("col.role"))
+      }),
+      "q_pbf_tags" -> ((s, dir) => {
+        import s.implicits._
+        sources.OsmPbf.relations(s, pbfScratch(dir) + "/fixture.osm.pbf")
+          .select(col("id"), explode(col("tags")))
+          .toDF("id", "k", "v")
+      }),
+      "q_pbf_polygons" -> ((s, dir) => {
+        val pbf = pbfScratch(dir) + "/fixture.osm.pbf"
+        val polys = Ingest.polygons(s, sources.OsmPbf.nodes(s, pbf),
+          sources.OsmPbf.ways(s, pbf), sources.OsmPbf.relations(s, pbf),
+          Fixtures.blacklist)
+        polys.select(col("relId"), col("adminLevel"), col("layer"), col("name"),
+          round(graft.functions.GeomExpressions.st_area(col("wkb")), 9).as("area"),
+          round(col("bbox.minx"), 6).as("minx"), round(col("bbox.miny"), 6).as("miny"),
+          round(col("bbox.maxx"), 6).as("maxx"), round(col("bbox.maxy"), 6).as("maxy"))
+      }),
       // E6: vector→raster at a fixed level
       "q_raster_cells" -> ((s, _) => {
         val (polys, _) = dims(s)
@@ -1018,6 +1059,17 @@ object SparkEntry {
     // raw shapefile decode: every (record, part, pos) coordinate from the
     // binary file vs the written fixture rows (see shpDecodeOracle)
     "q_shp_decode" -> shpDecodeOracle,
+    // OSM PBF decode: every entity out of the binary container vs the
+    // written fixture (coordinates = closed-form nanodegree quantization)
+    "q_pbf_nodes" -> pbfNodesOracle,
+    "q_pbf_ways" -> pbfWaysOracle,
+    "q_pbf_rels" -> pbfRelsOracle,
+    "q_pbf_tags" -> pbfTagsOracle,
+    // the FULL S1→G5 chain (3-pass semi-join import + ring/polygon
+    // assembly) fed from the real .osm.pbf must be row-identical to the
+    // fixture-table path — polygonsOracle shared verbatim (possible
+    // because the division decode makes grid coordinates bit-exact)
+    "q_pbf_polygons" -> polygonsOracle,
     // IVF ANN — the full index build (seeded init + 2 Lloyd rounds with
     // DECIMAL-exact means) and probe replayed in SQL (see ivfOracle)
     "q_ann_ivf" -> ivfOracle,
@@ -2438,6 +2490,77 @@ object SparkEntry {
         sources.Shapefile.write(shpDecodeRecords, s"$work/decode")
       }
     root
+  }
+
+  /** DONE-gated scratch dir holding the real .osm.pbf the q_pbf_* queries
+    * read — the full fixture OSM set, 64 entities per block so the file
+    * genuinely has many zlib blobs for the distributed read to fan over.
+    */
+  private def pbfScratch(sfDir: String): String = {
+    val root = scratchRoot("pbf", sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "DONE")))
+      buildScratch(root) { work =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
+        val (ns, ws, rs, _) = Fixtures.osm
+        sources.OsmPbf.write(
+          ns.map(n => (n.id, n.lat, n.lon)),
+          ws.map(w => (w.id, w.refs)),
+          rs.map(r => (r.id, r.tags, r.members.map(m => (m.id, m.mtype, m.role)))),
+          s"$work/fixture.osm.pbf", blockSize = 64)
+      }
+    root
+  }
+
+  /** Decode oracles (q_pbf_nodes/ways/rels/tags): the binary file's
+    * content is fully determined by the fixture entities that were
+    * written, so each oracle enumerates them as VALUES — coordinates as
+    * the closed-form `OsmPbf.quantize` nanodegree round trip (quoted
+    * strings, correct-rounding rationale as rawTopoCtesFor).
+    */
+  private def pbfNodesOracle: String = {
+    val rows = Fixtures.osm._1.sortBy(_.id).map { n =>
+      s"(${n.id}, '${sources.OsmPbf.quantize(n.lat, 100)}', '${sources.OsmPbf.quantize(n.lon, 100)}')"
+    }.mkString(",\n    ")
+    s"""SELECT CAST(id AS BIGINT) AS id, CAST(lat AS DOUBLE) AS lat,
+       |       CAST(lon AS DOUBLE) AS lon
+       |FROM (VALUES
+       |    $rows
+       |  ) AS t(id, lat, lon)""".stripMargin
+  }
+
+  private def pbfWaysOracle: String = {
+    val rows = (for {
+      w <- Fixtures.osm._2.sortBy(_.id)
+      (r, i) <- w.refs.zipWithIndex
+    } yield s"(${w.id}, $i, $r)").mkString(",\n    ")
+    s"""SELECT CAST(id AS BIGINT) AS id, CAST(pos AS BIGINT) AS pos,
+       |       CAST(ref AS BIGINT) AS ref
+       |FROM (VALUES
+       |    $rows
+       |  ) AS t(id, pos, ref)""".stripMargin
+  }
+
+  private def pbfRelsOracle: String = {
+    val rows = (for {
+      r <- Fixtures.osm._3.sortBy(_.id)
+      (m, i) <- r.members.zipWithIndex
+    } yield s"(${r.id}, $i, ${m.id}, ${m.mtype}, '${m.role}')").mkString(",\n    ")
+    s"""SELECT CAST(id AS BIGINT) AS id, CAST(seq AS BIGINT) AS seq,
+       |       CAST(mid AS BIGINT) AS mid, CAST(mtype AS INT) AS mtype, role
+       |FROM (VALUES
+       |    $rows
+       |  ) AS t(id, seq, mid, mtype, role)""".stripMargin
+  }
+
+  private def pbfTagsOracle: String = {
+    val rows = (for {
+      r <- Fixtures.osm._3.sortBy(_.id)
+      (k, v) <- r.tags.toSeq.sortBy(_._1)
+    } yield s"(${r.id}, '$k', '$v')").mkString(",\n    ")
+    s"""SELECT CAST(id AS BIGINT) AS id, k, v
+       |FROM (VALUES
+       |    $rows
+       |  ) AS t(id, k, v)""".stripMargin
   }
 
   /** Independent decode oracle (q_shp_decode): what the binary file MUST

@@ -1,0 +1,471 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, DataOutputStream, FileOutputStream, RandomAccessFile}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{Deflater, Inflater}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Real OSM PBF reader + writer, pure JVM, implemented from the published
+  * format description (wiki.openstreetmap.org/wiki/PBF_Format) and the
+  * public protobuf wire encoding — no protobuf runtime, no external libs.
+  * This is the reference's PRIMARY input: its 3-pass import walks exactly
+  * this container via imposm3's parser
+  * (/root/reference/osmtopo/import.go:13,138). Until now the file layer
+  * was replaced by deterministic fixture tables; like the media codecs
+  * and the Shapefile module, this closes the format gap with genuinely
+  * spec-conformant bytes, written and parsed for real, oracle-checked
+  * (q_pbf_nodes/ways/rels/tags).
+  *
+  * Container layout:
+  *   repeat: int32-BE headerLen, BlobHeader{type=1 string, datasize=3},
+  *           Blob{raw=1 | raw_size=2 + zlib_data=3} of datasize bytes.
+  * First blob type "OSMHeader" (HeaderBlock: required_features=4 —
+  * "OsmSchema-V0.6", "DenseNodes"), then "OSMData" blobs, each a
+  * zlib-compressed PrimitiveBlock:
+  *   stringtable=1 (s=1 repeated bytes; index 0 reserved empty — 0 is
+  *   the keys_vals separator), primitivegroup=2, granularity=17
+  *   (default 100), lat_offset=19, lon_offset=20. A PrimitiveGroup holds
+  *   ONE entity kind: dense=2 (DenseNodes: id=1 / lat=8 / lon=9 packed
+  *   sint64 DELTA chains), ways=3 (Way: id=1, keys=2, vals=3, refs=8
+  *   packed sint64 delta), relations=4 (Relation: id=1, keys=2, vals=3,
+  *   roles_sid=8, memids=9 delta, types=10: 0 NODE / 1 WAY / 2 RELATION).
+  * Coordinates: lat = 1e-9 · (lat_offset + granularity · stored), i.e.
+  * integer nanodegrees at granularity resolution — the write→read round
+  * trip QUANTIZES (1e-7° at the standard granularity 100), which the
+  * decode oracles replicate closed-form.
+  *
+  * Scale: the reader walks only the 4-byte lengths + tiny BlobHeaders on
+  * the DRIVER (a planet file is ~10⁴–10⁵ blobs — KBs of header bytes
+  * via seeks), then distributes (offset, size) blob ranges; each task
+  * inflates and decodes only its own blobs. Entity extraction is
+  * per-kind (`nodes`/`ways`/`relations` each scan the blob list) —
+  * deliberately mirroring the reference's 3-pass import shape (S1),
+  * where each pass is an independent distributed scan.
+  */
+object OsmPbf {
+
+  // ------------------------------------------------------ wire primitives
+
+  private final class Wire {
+    val out = new ByteArrayOutputStream()
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    def zigzag(n: Long): Unit = varint((n << 1) ^ (n >> 63))
+    def key(field: Int, wt: Int): Unit = varint((field.toLong << 3) | wt)
+    def lenDelim(field: Int, b: Array[Byte]): Unit = {
+      key(field, 2); varint(b.length.toLong); out.write(b)
+    }
+    def str(field: Int, s: String): Unit = lenDelim(field, s.getBytes(UTF_8))
+    def int(field: Int, v: Long): Unit = { key(field, 0); varint(v) }
+    /** packed repeated varint/sint64 fields */
+    def packed(field: Int, vs: Iterable[Long], zz: Boolean): Unit = if (vs.nonEmpty) {
+      val w = new Wire
+      vs.foreach(v => if (zz) w.zigzag(v) else w.varint(v))
+      lenDelim(field, w.bytes)
+    }
+    def bytes: Array[Byte] = out.toByteArray
+  }
+
+  private final class Reader(val buf: Array[Byte], start: Int, end: Int) {
+    var pos: Int = start
+    def hasNext: Boolean = pos < end
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      while (true) {
+        val b = buf(pos); pos += 1
+        v |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return v
+        shift += 7
+        require(shift < 64, "malformed varint")
+      }
+      v
+    }
+    def zigzag(): Long = { val v = varint(); (v >>> 1) ^ -(v & 1) }
+    /** returns (field, wireType) */
+    def tag(): (Int, Int) = { val k = varint(); ((k >>> 3).toInt, (k & 7).toInt) }
+    def lenDelim(): Reader = {
+      val n = varint().toInt
+      val r = new Reader(buf, pos, pos + n); pos += n; r
+    }
+    def rawBytes(): Array[Byte] = {
+      val n = varint().toInt
+      val b = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; b
+    }
+    def skip(wt: Int): Unit = wt match {
+      case 0 => varint()
+      case 1 => pos += 8
+      case 2 => val n = varint().toInt; pos += n
+      case 5 => pos += 4
+      case w => throw new IllegalArgumentException(s"unsupported wire type $w")
+    }
+    def packedLongs(zz: Boolean): Seq[Long] = {
+      val r = lenDelim()
+      val out = Seq.newBuilder[Long]
+      while (r.hasNext) out += (if (zz) r.zigzag() else r.varint())
+      out.result()
+    }
+  }
+
+  // -------------------------------------------------------------- writing
+
+  /** Nanodegree units at `granularity` for a degree coordinate — the
+    * closed-form quantization the decode oracles replicate.
+    */
+  def toUnits(deg: Double, granularity: Int): Long =
+    Math.round(deg * 1e9 / granularity)
+
+  /** The decoded value those units parse back to. The nanodegree count is
+    * exact in Long arithmetic (≤ 1.8·10¹¹ ≪ 2⁵³), and DIVISION by the
+    * exactly-representable 1e9 is correctly rounded — so decode returns
+    * the nearest double to the exact decimal coordinate. (The spec's
+    * `.000000001 · nano` phrasing multiplied by a NON-representable 1e-9
+    * would drift 1 ulp on ~30% of grid coordinates; same real-number
+    * semantics, strictly worse rounding, so we divide.) Consequence:
+    * coordinates already on a ≥ granularity grid round-trip bit-exactly.
+    */
+  def quantize(deg: Double, granularity: Int): Double =
+    (granularity.toLong * toUnits(deg, granularity)).toDouble / 1e9
+
+  private def zlib(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(raw); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def blob(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val b = new Wire
+    b.int(2, payload.length.toLong)    // raw_size
+    b.lenDelim(3, zlib(payload))       // zlib_data
+    val body = b.bytes
+    val h = new Wire
+    h.str(1, typ)
+    h.int(3, body.length.toLong)       // datasize
+    val header = h.bytes
+    val out = new ByteArrayOutputStream()
+    val d = new DataOutputStream(out)
+    d.writeInt(header.length)          // int32 BE
+    d.write(header); d.write(body)
+    out.toByteArray
+  }
+
+  private def stringTable(strings: IndexedSeq[String]): Array[Byte] = {
+    val w = new Wire
+    strings.foreach(s => w.lenDelim(1, s.getBytes(UTF_8)))
+    w.bytes
+  }
+
+  /** Write a complete .osm.pbf: OSMHeader blob, then node blocks (dense,
+    * `blockSize` nodes per block), way blocks, relation blocks — the
+    * nodes→ways→relations order real planet files use. Every OSMData
+    * payload is zlib-compressed. Small `blockSize` forces many blobs so
+    * the distributed read path is actually exercised at fixture scale.
+    */
+  def write(nodes: Seq[(Long, Double, Double)],       // (id, lat, lon)
+            ways: Seq[(Long, Seq[Long])],             // (id, refs)
+            rels: Seq[(Long, Map[String, String], Seq[(Long, Int, String)])],
+            path: String, blockSize: Int = 8000, granularity: Int = 100): Unit = {
+    val out = new FileOutputStream(path)
+    try {
+      val hb = new Wire
+      hb.str(4, "OsmSchema-V0.6")
+      hb.str(4, "DenseNodes")
+      hb.str(16, "graft-osmpbf")
+      out.write(blob("OSMHeader", hb.bytes))
+
+      def primitiveBlock(strings: IndexedSeq[String], group: Array[Byte]): Array[Byte] = {
+        val w = new Wire
+        w.lenDelim(1, stringTable(strings))
+        w.lenDelim(2, group)
+        w.int(17, granularity.toLong)
+        w.int(19, 0L); w.int(20, 0L)   // lat/lon offsets, explicit
+        w.bytes
+      }
+
+      nodes.sortBy(_._1).grouped(blockSize).foreach { blk =>
+        val dense = new Wire
+        dense.packed(1, delta(blk.map(_._1)), zz = true)
+        dense.packed(8, delta(blk.map(n => toUnits(n._2, granularity))), zz = true)
+        dense.packed(9, delta(blk.map(n => toUnits(n._3, granularity))), zz = true)
+        val g = new Wire
+        g.lenDelim(2, dense.bytes)
+        out.write(blob("OSMData", primitiveBlock(IndexedSeq(""), g.bytes)))
+      }
+
+      ways.sortBy(_._1).grouped(blockSize).foreach { blk =>
+        val g = new Wire
+        blk.foreach { case (id, refs) =>
+          val w = new Wire
+          w.int(1, id)
+          w.packed(8, delta(refs), zz = true)
+          g.lenDelim(3, w.bytes)
+        }
+        out.write(blob("OSMData", primitiveBlock(IndexedSeq(""), g.bytes)))
+      }
+
+      rels.sortBy(_._1).grouped(blockSize).foreach { blk =>
+        // per-block string table: index 0 empty, then sorted distinct strings
+        val strs = blk.flatMap { case (_, tags, ms) =>
+          tags.keys ++ tags.values ++ ms.map(_._3)
+        }.distinct.sorted
+        val table = "" +: strs.toIndexedSeq
+        val idx = table.zipWithIndex.toMap
+        val g = new Wire
+        blk.foreach { case (id, tags, ms) =>
+          val w = new Wire
+          w.int(1, id)
+          val kvs = tags.toSeq.sortBy(_._1)
+          w.packed(2, kvs.map(kv => idx(kv._1).toLong), zz = false)
+          w.packed(3, kvs.map(kv => idx(kv._2).toLong), zz = false)
+          w.packed(8, ms.map(m => idx(m._3).toLong), zz = false)
+          w.packed(9, delta(ms.map(_._1)), zz = true)
+          w.packed(10, ms.map(_._2.toLong), zz = false)
+          g.lenDelim(4, w.bytes)
+        }
+        out.write(blob("OSMData", primitiveBlock(table, g.bytes)))
+      }
+    } finally out.close()
+  }
+
+  private def delta(vs: Seq[Long]): Seq[Long] =
+    vs.headOption.map(h => h +: vs.sliding(2).collect { case Seq(a, b) => b - a }.toSeq)
+      .getOrElse(Nil)
+
+  // -------------------------------------------------------------- reading
+
+  private[sources] case class BlobRange(typ: String, offset: Long, size: Int)
+
+  /** Driver-side blob walk: reads each 4-byte length + BlobHeader and
+    * SEEKS past the payload — for a planet file this touches KBs.
+    */
+  private[sources] def blobIndex(path: String): Seq[BlobRange] = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val out = Seq.newBuilder[BlobRange]
+      var off = 0L
+      val len = raf.length()
+      while (off < len) {
+        raf.seek(off)
+        val hLen = raf.readInt()
+        val hBytes = new Array[Byte](hLen)
+        raf.readFully(hBytes)
+        val r = new Reader(hBytes, 0, hLen)
+        var typ = ""; var datasize = -1
+        while (r.hasNext) r.tag() match {
+          case (1, 2) => typ = new String(r.rawBytes(), UTF_8)
+          case (3, 0) => datasize = r.varint().toInt
+          case (_, wt) => r.skip(wt)
+        }
+        require(datasize >= 0, s"BlobHeader without datasize at offset $off")
+        out += BlobRange(typ, off + 4 + hLen, datasize)
+        off += 4 + hLen + datasize
+      }
+      out.result()
+    } finally raf.close()
+  }
+
+  /** Header check: fail loudly on required features we don't implement
+    * (the spec's mandated behavior for unknown required_features).
+    */
+  private def checkHeader(path: String, ranges: Seq[BlobRange]): Unit = {
+    val supported = Set("OsmSchema-V0.6", "DenseNodes")
+    ranges.find(_.typ == "OSMHeader").foreach { h =>
+      val payload = inflateBlob(path, h)
+      val r = new Reader(payload, 0, payload.length)
+      while (r.hasNext) r.tag() match {
+        case (4, 2) =>
+          val f = new String(r.rawBytes(), UTF_8)
+          require(supported.contains(f), s"unsupported required feature: $f")
+        case (_, wt) => r.skip(wt)
+      }
+    }
+  }
+
+  /** Read + decompress one blob's PrimitiveBlock/HeaderBlock payload. */
+  private def inflateBlob(path: String, b: BlobRange): Array[Byte] = {
+    val raf = new RandomAccessFile(path, "r")
+    val bytes = try {
+      raf.seek(b.offset)
+      val buf = new Array[Byte](b.size)
+      raf.readFully(buf); buf
+    } finally raf.close()
+    val r = new Reader(bytes, 0, bytes.length)
+    var raw: Array[Byte] = null
+    var rawSize = -1
+    var zlibData: Array[Byte] = null
+    while (r.hasNext) r.tag() match {
+      case (1, 2) => raw = r.rawBytes()
+      case (2, 0) => rawSize = r.varint().toInt
+      case (3, 2) => zlibData = r.rawBytes()
+      case (_, wt) => r.skip(wt)
+    }
+    if (raw != null) raw
+    else {
+      require(zlibData != null, "blob with neither raw nor zlib_data")
+      val inf = new Inflater()
+      inf.setInput(zlibData)
+      val out = new Array[Byte](rawSize)
+      var done = 0
+      while (!inf.finished() && done < rawSize) {
+        val n = inf.inflate(out, done, rawSize - done)
+        require(n > 0 || inf.finished(), "truncated zlib blob")
+        done += n
+      }
+      inf.end()
+      require(done == rawSize, s"blob raw_size $rawSize but inflated $done")
+      out
+    }
+  }
+
+  private case class BlockCtx(strings: IndexedSeq[String], granularity: Int,
+                              latOffset: Long, lonOffset: Long)
+
+  /** Walk one PrimitiveBlock, calling `onGroup` per PrimitiveGroup with
+    * the block's string table + coordinate transform.
+    */
+  private def eachGroup[T](payload: Array[Byte])(onGroup: (BlockCtx, Reader) => Iterator[T]): Iterator[T] = {
+    val r = new Reader(payload, 0, payload.length)
+    var strings = IndexedSeq.empty[String]
+    var granularity = 100; var latOff = 0L; var lonOff = 0L
+    val groups = Seq.newBuilder[Reader]
+    while (r.hasNext) r.tag() match {
+      case (1, 2) =>
+        val st = r.lenDelim()
+        val b = IndexedSeq.newBuilder[String]
+        while (st.hasNext) st.tag() match {
+          case (1, 2) => b += new String(st.rawBytes(), UTF_8)
+          case (_, wt) => st.skip(wt)
+        }
+        strings = b.result()
+      case (2, 2) => groups += r.lenDelim()
+      case (17, 0) => granularity = r.varint().toInt
+      case (19, 0) => latOff = r.varint()
+      case (20, 0) => lonOff = r.varint()
+      case (_, wt) => r.skip(wt)
+    }
+    val ctx = BlockCtx(strings, granularity, latOff, lonOff)
+    groups.result().iterator.flatMap(g => onGroup(ctx, g))
+  }
+
+  private def dataRanges(path: String): Seq[BlobRange] = {
+    val ranges = blobIndex(path)
+    checkHeader(path, ranges)
+    ranges.filter(_.typ == "OSMData")
+  }
+
+  private def distribute[T: org.apache.spark.sql.Encoder: scala.reflect.ClassTag](
+      spark: SparkSession, path: String)(
+      decode: Array[Byte] => Iterator[T]): org.apache.spark.sql.Dataset[T] = {
+    import spark.implicits._
+    val ranges = dataRanges(path)
+    val parts = math.min(spark.sparkContext.defaultParallelism, math.max(1, ranges.length))
+    spark.createDataset(spark.sparkContext.parallelize(ranges, parts)
+      .flatMap(b => decode(inflateBlob(path, b))))
+  }
+
+  /** Distributed dense-node decode → (id, lat, lon) in degrees. */
+  def nodes(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    distribute[(Long, Double, Double)](spark, path) { payload =>
+      eachGroup(payload) { (ctx, g) =>
+        var ids, lats, lons = Seq.empty[Long]
+        while (g.hasNext) g.tag() match {
+          case (2, 2) =>
+            val d = g.lenDelim()
+            while (d.hasNext) d.tag() match {
+              case (1, 2) => ids = d.packedWire(zz = true)
+              case (8, 2) => lats = d.packedWire(zz = true)
+              case (9, 2) => lons = d.packedWire(zz = true)
+              case (_, wt) => d.skip(wt)
+            }
+          case (_, wt) => g.skip(wt)
+        }
+        def undelta(vs: Seq[Long]): Seq[Long] = vs.scanLeft(0L)(_ + _).tail
+        require(ids.length == lats.length && ids.length == lons.length,
+          "DenseNodes id/lat/lon length mismatch")
+        // correctly-rounded decode: exact Long nanodegrees, then divide
+        // (see `quantize` — multiplying by the non-representable 1e-9
+        // would drift 1 ulp on ~30% of grid coordinates)
+        undelta(ids).lazyZip(undelta(lats)).lazyZip(undelta(lons)).iterator.map {
+          case (id, la, lo) =>
+            (id, (ctx.latOffset + ctx.granularity.toLong * la).toDouble / 1e9,
+                 (ctx.lonOffset + ctx.granularity.toLong * lo).toDouble / 1e9)
+        }
+      }
+    }.toDF("id", "lat", "lon")
+  }
+
+  /** Distributed way decode → (id, refs). */
+  def ways(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    distribute[(Long, Seq[Long])](spark, path) { payload =>
+      eachGroup(payload) { (_, g) =>
+        val out = Seq.newBuilder[(Long, Seq[Long])]
+        while (g.hasNext) g.tag() match {
+          case (3, 2) =>
+            val w = g.lenDelim()
+            var id = 0L; var refs = Seq.empty[Long]
+            while (w.hasNext) w.tag() match {
+              case (1, 0) => id = w.varint()
+              case (8, 2) => refs = w.packedWire(zz = true).scanLeft(0L)(_ + _).tail
+              case (_, wt) => w.skip(wt)
+            }
+            out += ((id, refs))
+          case (_, wt) => g.skip(wt)
+        }
+        out.result().iterator
+      }
+    }.toDF("id", "refs")
+  }
+
+  /** Distributed relation decode → (id, tags, members(id, type, role)),
+    * the Fixtures.relationsDf shape.
+    */
+  def relations(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    distribute[(Long, Map[String, String], Seq[(Long, Int, String)])](spark, path) { payload =>
+      eachGroup(payload) { (ctx, g) =>
+        val out = Seq.newBuilder[(Long, Map[String, String], Seq[(Long, Int, String)])]
+        while (g.hasNext) g.tag() match {
+          case (4, 2) =>
+            val w = g.lenDelim()
+            var id = 0L
+            var keys, vals, roles, types = Seq.empty[Long]
+            var memids = Seq.empty[Long]
+            while (w.hasNext) w.tag() match {
+              case (1, 0) => id = w.varint()
+              case (2, 2) => keys = w.packedWire(zz = false)
+              case (3, 2) => vals = w.packedWire(zz = false)
+              case (8, 2) => roles = w.packedWire(zz = false)
+              case (9, 2) => memids = w.packedWire(zz = true).scanLeft(0L)(_ + _).tail
+              case (10, 2) => types = w.packedWire(zz = false)
+              case (_, wt) => w.skip(wt)
+            }
+            val tags = keys.zip(vals).map { case (k, v) =>
+              (ctx.strings(k.toInt), ctx.strings(v.toInt))
+            }.toMap
+            val members = memids.indices.map { i =>
+              (memids(i), types(i).toInt, ctx.strings(roles(i).toInt))
+            }
+            out += ((id, tags, members))
+          case (_, wt) => g.skip(wt)
+        }
+        out.result().iterator
+      }
+    }.toDF("id", "tags", "members")
+      .withColumn("members",
+        expr("transform(members, m -> struct(m._1 AS id, m._2 AS type, m._3 AS role))"))
+  }
+
+  private implicit final class PackedOps(private val r: Reader) extends AnyVal {
+    def packedWire(zz: Boolean): Seq[Long] = r.packedLongs(zz)
+  }
+}

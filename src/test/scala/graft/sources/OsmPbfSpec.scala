@@ -1,0 +1,180 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, DataOutputStream, FileOutputStream}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.util.zip.Inflater
+
+import graft.SparkTestBase
+
+class OsmPbfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val (fnodes, fways, frels, _) = Fixtures.osm
+
+  private def writeFixture(blockSize: Int = 64): String = {
+    val path = Files.createTempDirectory("pbf_spec").resolve("fixture.osm.pbf").toString
+    OsmPbf.write(
+      fnodes.map(n => (n.id, n.lat, n.lon)),
+      fways.map(w => (w.id, w.refs)),
+      frels.map(r => (r.id, r.tags, r.members.map(m => (m.id, m.mtype, m.role)))),
+      path, blockSize = blockSize)
+    path
+  }
+
+  test("round-trip: nodes decode to correctly-rounded quantized coordinates") {
+    val path = writeFixture()
+    val back = OsmPbf.nodes(spark, path).as[(Long, Double, Double)].collect()
+      .sortBy(_._1)
+    val expect = fnodes.map(n =>
+      (n.id, OsmPbf.quantize(n.lat, 100), OsmPbf.quantize(n.lon, 100))).sortBy(_._1)
+    assert(back.length == expect.length)
+    back.zip(expect).foreach { case (b, e) => assert(b == e, s"node ${e._1}") }
+    // fixture nodes sit on the 1e-6 grid, so at granularity 100 (1e-7)
+    // the round trip is BIT-exact — division decode, not 1e-9 multiply
+    val orig = fnodes.map(n => (n.id, n.lat, n.lon)).sortBy(_._1)
+    back.zip(orig).foreach { case (b, o) => assert(b == o, s"node ${o._1} not bit-exact") }
+  }
+
+  test("round-trip: ways and relations decode exactly (refs, tags, members, roles)") {
+    val path = writeFixture()
+    val ways = OsmPbf.ways(spark, path).as[(Long, Seq[Long])].collect().sortBy(_._1)
+    assert(ways.toSeq == fways.map(w => (w.id, w.refs)).sortBy(_._1))
+    val rels = OsmPbf.relations(spark, path)
+      .as[(Long, Map[String, String], Seq[(Long, Int, String)])].collect().sortBy(_._1)
+    assert(rels.toSeq ==
+      frels.map(r => (r.id, r.tags, r.members.map(m => (m.id, m.mtype, m.role)))).sortBy(_._1))
+  }
+
+  test("small blocks force many blobs; read distributes over them") {
+    val path = writeFixture(blockSize = 16)
+    val ranges = OsmPbf.blobIndex(path)
+    assert(ranges.count(_.typ == "OSMData") > 10, s"expected many blobs, got ${ranges.map(_.typ)}")
+    assert(ranges.head.typ == "OSMHeader")
+    assert(OsmPbf.nodes(spark, path).count() == fnodes.length)
+    assert(OsmPbf.nodes(spark, path).rdd.getNumPartitions > 1)
+  }
+
+  test("written bytes are spec-conformant: independent sequential walk") {
+    // minimal protobuf walk written HERE, not sharing the reader's code:
+    // varints, tag dispatch, zlib inflate, raw_size agreement
+    val path = writeFixture()
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(path))
+    var off = 0
+    var idx = 0
+    def varint(b: Array[Byte], p0: Int): (Long, Int) = {
+      var p = p0; var shift = 0; var v = 0L
+      while (true) {
+        val x = b(p); p += 1
+        v |= (x & 0x7fL) << shift
+        if ((x & 0x80) == 0) return (v, p)
+        shift += 7
+      }
+      (v, p)
+    }
+    while (off < bytes.length) {
+      val hLen = ByteBuffer.wrap(bytes, off, 4).getInt
+      // BlobHeader: expect field 1 (type, wire 2) then field 3 (datasize, wire 0)
+      var p = off + 4
+      val hEnd = p + hLen
+      var typ = ""; var datasize = -1L
+      while (p < hEnd) {
+        val (k, p1) = varint(bytes, p)
+        (k >>> 3, k & 7) match {
+          case (1, 2) =>
+            val (n, p2) = varint(bytes, p1)
+            typ = new String(bytes, p2, n.toInt, UTF_8); p = p2 + n.toInt
+          case (3, 0) =>
+            val (v, p2) = varint(bytes, p1); datasize = v; p = p2
+          case (_, 2) => val (n, p2) = varint(bytes, p1); p = p2 + n.toInt
+          case (_, 0) => val (_, p2) = varint(bytes, p1); p = p2
+          case other => fail(s"unexpected wire entry $other in BlobHeader")
+        }
+      }
+      if (idx == 0) assert(typ == "OSMHeader") else assert(typ == "OSMData")
+      // Blob: raw_size (2,varint) + zlib_data (3,len) — inflate must match
+      var q = hEnd
+      val bEnd = hEnd + datasize.toInt
+      var rawSize = -1L; var inflated = -1L
+      while (q < bEnd) {
+        val (k, q1) = varint(bytes, q)
+        (k >>> 3, k & 7) match {
+          case (2, 0) => val (v, q2) = varint(bytes, q1); rawSize = v; q = q2
+          case (3, 2) =>
+            val (n, q2) = varint(bytes, q1)
+            val inf = new Inflater()
+            inf.setInput(bytes, q2, n.toInt)
+            val buf = new Array[Byte](rawSize.toInt + 16)
+            var done = 0
+            while (!inf.finished()) done += inf.inflate(buf, done, buf.length - done)
+            inf.end()
+            inflated = done.toLong
+            q = q2 + n.toInt
+          case (_, 2) => val (n, q2) = varint(bytes, q1); q = q2 + n.toInt
+          case (_, 0) => val (_, q2) = varint(bytes, q1); q = q2
+          case other => fail(s"unexpected wire entry $other in Blob")
+        }
+      }
+      assert(rawSize >= 0 && inflated == rawSize, s"blob $idx raw_size $rawSize vs inflated $inflated")
+      off = bEnd
+      idx += 1
+    }
+    assert(idx > 3, "header + node/way/relation blobs")
+  }
+
+  test("unknown required feature fails loudly; raw (uncompressed) blobs read fine") {
+    val dir = Files.createTempDirectory("pbf_bad")
+    // hand-build: OSMHeader requiring an unsupported feature
+    def wire(build: DataOutputStream => Unit): Array[Byte] = {
+      val bos = new ByteArrayOutputStream(); val d = new DataOutputStream(bos)
+      build(d); bos.toByteArray
+    }
+    def varint(out: DataOutputStream, v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    def lenDelim(out: DataOutputStream, field: Int, b: Array[Byte]): Unit = {
+      varint(out, (field << 3) | 2); varint(out, b.length.toLong); out.write(b)
+    }
+    val headerBlock = wire { d =>
+      lenDelim(d, 4, "HistoricalInformation".getBytes(UTF_8))
+    }
+    val blobBody = wire { d => lenDelim(d, 1, headerBlock) } // raw=1, uncompressed
+    val blobHeader = wire { d =>
+      lenDelim(d, 1, "OSMHeader".getBytes(UTF_8))
+      varint(d, (3 << 3) | 0); varint(d, blobBody.length.toLong)
+    }
+    val bad = dir.resolve("bad.osm.pbf").toString
+    val f = new DataOutputStream(new FileOutputStream(bad))
+    f.writeInt(blobHeader.length); f.write(blobHeader); f.write(blobBody); f.close()
+    val err = intercept[IllegalArgumentException](OsmPbf.nodes(spark, bad).collect())
+    assert(err.getMessage.contains("HistoricalInformation"))
+
+    // same file with a SUPPORTED feature: raw-blob path parses, zero nodes
+    val okHeader = wire { d => lenDelim(d, 4, "DenseNodes".getBytes(UTF_8)) }
+    val okBody = wire { d => lenDelim(d, 1, okHeader) }
+    val okBlobHeader = wire { d =>
+      lenDelim(d, 1, "OSMHeader".getBytes(UTF_8))
+      varint(d, (3 << 3) | 0); varint(d, okBody.length.toLong)
+    }
+    val ok = dir.resolve("ok.osm.pbf").toString
+    val g = new DataOutputStream(new FileOutputStream(ok))
+    g.writeInt(okBlobHeader.length); g.write(okBlobHeader); g.write(okBody); g.close()
+    assert(OsmPbf.nodes(spark, ok).count() == 0)
+  }
+
+  test("non-grid coordinates quantize to 1e-7 resolution, closed form") {
+    val path = Files.createTempDirectory("pbf_q").resolve("q.osm.pbf").toString
+    val odd = Seq((1L, 51.123456789, 3.987654321987), (2L, -0.000000049, 179.99999996))
+    OsmPbf.write(odd, Nil, Nil, path)
+    val back = OsmPbf.nodes(spark, path).as[(Long, Double, Double)].collect().sortBy(_._1)
+    val expect = odd.map { case (id, la, lo) =>
+      (id, OsmPbf.quantize(la, 100), OsmPbf.quantize(lo, 100)) }
+    assert(back.toSeq == expect)
+    back.zip(odd).foreach { case ((_, bla, blo), (_, ola, olo)) =>
+      assert(math.abs(bla - ola) <= 5e-8 && math.abs(blo - olo) <= 5e-8)
+    }
+  }
+}

@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Similarity
+
+/** Records the IVF tuning surface for BENCH.md: recall@k of
+  * `Similarity.ivfTopK` vs the brute-force baseline as nProbe sweeps the
+  * centroid count. The q_ann_ivf oracle pins that build+probe are
+  * computed EXACTLY as specified; this table documents what that spec
+  * buys a user at each probe width (recall is a property of the data,
+  * not the engine — the sweep is the documentation).
+  *
+  * Usage: sbt "runMain graft.tools.IvfRecallSweep [sfDir] [k]"
+  */
+object IvfRecallSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .appName("ivf-recall-sweep").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+      val n = emb.count()
+      val nCentroids = math.max(1, math.sqrt(n.toDouble).toInt)
+      val queries = 0L until 50L
+      val brute = Similarity.bruteForceTopK(emb, queries, k)
+        .select("query_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"sfDir=$sfDir n=$n dims=64 k=$k queries=${queries.length} " +
+        s"centroids=$nCentroids (sqrt-n default)")
+      println(f"${"nProbe"}%8s ${"recall@" + k}%10s ${"probe_s"}%8s")
+      for (nProbe <- Seq(1, 2, 4, 8, 16, nCentroids)) {
+        val t0 = System.nanoTime()
+        val ivf = Similarity.ivfTopK(emb, queries, k, nProbe = nProbe)
+          .select("query_id", "vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val secs = (System.nanoTime() - t0) / 1e9
+        val recall = ivf.intersect(brute).size.toDouble / brute.size
+        println(f"$nProbe%8d $recall%10.4f $secs%8.2f")
+      }
+    } finally spark.stop()
+  }
+}

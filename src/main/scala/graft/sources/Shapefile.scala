@@ -108,6 +108,40 @@ object Shapefile {
     b.array()
   }
 
+  // ------------------------------------------------------------------ zip
+
+  /** Unpack a zipped shapefile bundle and locate the .shp — the
+    * reference's water flow (water.go:74-99): extract EVERY entry into
+    * `folder` (flat basenames; entry paths are never trusted, so a
+    * hostile "../" name cannot escape), remember the last `*.shp`
+    * basename, fail loudly when none. Returns the extension-less base
+    * path to hand to [[read]]. The zip layer is driver-side by design —
+    * the archive is not seekable; the extracted .shp then gets the
+    * normal distributed record-range read.
+    */
+  def unzipToBase(zipPath: String, folder: String): String = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(folder))
+    val zf = new java.util.zip.ZipFile(zipPath)
+    var shpName: String = null
+    try {
+      val es = zf.entries()
+      while (es.hasMoreElements) {
+        val e = es.nextElement()
+        if (!e.isDirectory) {
+          val base = e.getName.split('/').last
+          val out = java.nio.file.Paths.get(folder, base)
+          val in = zf.getInputStream(e)
+          try java.nio.file.Files.copy(in, out,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          finally in.close()
+          if (base.endsWith(".shp")) shpName = base
+        }
+      }
+    } finally zf.close()
+    require(shpName != null, s"No shape file found in zip: $zipPath")
+    s"$folder/${shpName.stripSuffix(".shp")}"
+  }
+
   // ----------------------------------------------------------------- read
 
   /** Per-record index entry parsed from the .shx (byte offsets/lengths). */

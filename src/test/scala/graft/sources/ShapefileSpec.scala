@@ -127,6 +127,35 @@ class ShapefileSpec extends SparkTestBase {
     assert(viaShp.length == viaFixture.length && viaShp.sameElements(viaFixture))
   }
 
+  test("zipped bundle: extract, locate .shp, read; zip without .shp fails loudly") {
+    val base = tmpBase("zipped")
+    Shapefile.write(fixtureRecords, base)
+    val dir = java.nio.file.Paths.get(base).getParent
+    def makeZip(withShp: Boolean): String = {
+      val zipPath = dir.resolve(if (withShp) "water.zip" else "empty.zip").toString
+      val zos = new java.util.zip.ZipOutputStream(new FileOutputStream(zipPath))
+      def add(name: String, bytes: Array[Byte]): Unit = {
+        zos.putNextEntry(new java.util.zip.ZipEntry(name)); zos.write(bytes); zos.closeEntry()
+      }
+      add("bundle/readme.txt", "decoy".getBytes) // nested path: flattened on extract
+      if (withShp) {
+        add("bundle/water.shp", Files.readAllBytes(java.nio.file.Paths.get(base + ".shp")))
+        add("bundle/water.shx", Files.readAllBytes(java.nio.file.Paths.get(base + ".shx")))
+      }
+      zos.close(); zipPath
+    }
+    val outDir = dir.resolve("unpacked").toString
+    val got = Shapefile.unzipToBase(makeZip(withShp = true), outDir)
+    assert(got == s"$outDir/water")
+    val back = Shapefile.read(spark, got)
+      .as[(Long, Seq[Seq[(Double, Double)]])].collect().sortBy(_._1)
+    assert(back.length == fixtureRecords.length)
+    back.foreach { case (i, rings) => assert(rings == fixtureRecords(i.toInt)) }
+    val err = intercept[IllegalArgumentException](
+      Shapefile.unzipToBase(makeZip(withShp = false), dir.resolve("unpacked2").toString))
+    assert(err.getMessage.contains("No shape file"))
+  }
+
   test("reader parallelism: record ranges split across partitions, one handle each") {
     val base = tmpBase("parallel")
     Shapefile.write(fixtureRecords, base)

@@ -165,6 +165,37 @@ class OsmPbfSpec extends SparkTestBase {
     assert(OsmPbf.nodes(spark, ok).count() == 0)
   }
 
+  test("seeded random round-trip property: entities, deltas, unicode, granularity 1 and 100") {
+    val rnd = new scala.util.Random(20260817L)
+    val roles = Seq("", "outer", "inner", "rôle", "役割", "stop;x")
+    val tagKeys = Seq("name", "name:nl", "été", "漢字", "a b")
+    for (trial <- 0 until 5; granularity <- Seq(1, 100)) {
+      val dir = Files.createTempDirectory(s"pbf_prop_$trial")
+      val path = dir.resolve("t.osm.pbf").toString
+      def id(): Long = rnd.nextLong() % (1L << 40) // negatives too: zigzag both signs
+      val ns = Seq.fill(1 + rnd.nextInt(40))(
+        (id(), rnd.nextDouble() * 180 - 90, rnd.nextDouble() * 360 - 180))
+        .distinctBy(_._1)
+      val ws = Seq.fill(rnd.nextInt(20))(
+        (id(), Seq.fill(rnd.nextInt(8))(id()))).distinctBy(_._1)
+      val rs = Seq.fill(rnd.nextInt(10))((
+        id(),
+        tagKeys.filter(_ => rnd.nextBoolean()).map(k => k -> s"v${rnd.nextInt(5)}€").toMap,
+        Seq.fill(rnd.nextInt(6))((id(), rnd.nextInt(3), roles(rnd.nextInt(roles.length))))
+      )).distinctBy(_._1)
+      OsmPbf.write(ns, ws, rs, path, blockSize = 7, granularity = granularity)
+      val gotN = OsmPbf.nodes(spark, path).as[(Long, Double, Double)].collect().sortBy(_._1)
+      val expN = ns.map { case (i, la, lo) =>
+        (i, OsmPbf.quantize(la, granularity), OsmPbf.quantize(lo, granularity)) }.sortBy(_._1)
+      assert(gotN.toSeq == expN, s"trial $trial g=$granularity nodes")
+      val gotW = OsmPbf.ways(spark, path).as[(Long, Seq[Long])].collect().sortBy(_._1)
+      assert(gotW.toSeq == ws.sortBy(_._1), s"trial $trial g=$granularity ways")
+      val gotR = OsmPbf.relations(spark, path)
+        .as[(Long, Map[String, String], Seq[(Long, Int, String)])].collect().sortBy(_._1)
+      assert(gotR.toSeq == rs.sortBy(_._1), s"trial $trial g=$granularity relations")
+    }
+  }
+
   test("non-grid coordinates quantize to 1e-7 resolution, closed form") {
     val path = Files.createTempDirectory("pbf_q").resolve("q.osm.pbf").toString
     val odd = Seq((1L, 51.123456789, 3.987654321987), (2L, -0.000000049, 179.99999996))

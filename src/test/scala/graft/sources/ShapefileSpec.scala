@@ -127,6 +127,39 @@ class ShapefileSpec extends SparkTestBase {
     assert(viaShp.length == viaFixture.length && viaShp.sameElements(viaFixture))
   }
 
+  test("seeded random round-trip property: rings, extreme magnitudes, -0.0") {
+    val rnd = new scala.util.Random(20260817L)
+    def coord(): Double = rnd.nextInt(6) match {
+      case 0 => -0.0
+      case 1 => rnd.nextDouble() * 1e300
+      case 2 => rnd.nextDouble() * 1e-300
+      case 3 => -rnd.nextDouble() * 180
+      case _ => rnd.nextDouble() * 360 - 180
+    }
+    for (trial <- 0 until 5) {
+      val recs = Seq.fill(1 + rnd.nextInt(12))(
+        Seq.fill(1 + rnd.nextInt(4))(
+          Seq.fill(2 + rnd.nextInt(28))((coord(), coord())): Seq[(Double, Double)]))
+      val base = tmpBase(s"prop$trial")
+      Shapefile.write(recs, base)
+      val back = Shapefile.read(spark, base)
+        .as[(Long, Seq[Seq[(Double, Double)]])].collect().sortBy(_._1)
+      assert(back.length == recs.length, s"trial $trial count")
+      back.foreach { case (i, rings) =>
+        val exp = recs(i.toInt)
+        assert(rings.length == exp.length, s"trial $trial rec $i parts")
+        // bit-level compare (survives -0.0, denormals, full exponent range)
+        rings.zip(exp).foreach { case (got, want) =>
+          assert(got.map { case (x, y) =>
+            (java.lang.Double.doubleToRawLongBits(x), java.lang.Double.doubleToRawLongBits(y))
+          } == want.map { case (x, y) =>
+            (java.lang.Double.doubleToRawLongBits(x), java.lang.Double.doubleToRawLongBits(y))
+          }, s"trial $trial rec $i")
+        }
+      }
+    }
+  }
+
   test("zipped bundle: extract, locate .shp, read; zip without .shp fails loudly") {
     val base = tmpBase("zipped")
     Shapefile.write(fixtureRecords, base)

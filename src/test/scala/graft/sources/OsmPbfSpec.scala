@@ -196,6 +196,15 @@ class OsmPbfSpec extends SparkTestBase {
     }
   }
 
+  test("empty pbf: header-only file, zero rows from all three readers") {
+    val path = Files.createTempDirectory("pbf_empty").resolve("e.osm.pbf").toString
+    OsmPbf.write(Nil, Nil, Nil, path)
+    assert(OsmPbf.blobIndex(path).map(_.typ) == Seq("OSMHeader"))
+    assert(OsmPbf.nodes(spark, path).count() == 0)
+    assert(OsmPbf.ways(spark, path).count() == 0)
+    assert(OsmPbf.relations(spark, path).count() == 0)
+  }
+
   test("non-grid coordinates quantize to 1e-7 resolution, closed form") {
     val path = Files.createTempDirectory("pbf_q").resolve("q.osm.pbf").toString
     val odd = Seq((1L, 51.123456789, 3.987654321987), (2L, -0.000000049, 179.99999996))

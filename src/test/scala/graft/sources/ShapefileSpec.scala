@@ -189,6 +189,13 @@ class ShapefileSpec extends SparkTestBase {
     assert(err.getMessage.contains("No shape file"))
   }
 
+  test("empty shapefile: header-only write, zero-row distributed read") {
+    val base = tmpBase("empty")
+    Shapefile.write(Nil, base)
+    assert(Files.size(java.nio.file.Paths.get(base + ".shp")) == 100, "header-only .shp")
+    assert(Shapefile.read(spark, base).count() == 0)
+  }
+
   test("reader parallelism: record ranges split across partitions, one handle each") {
     val base = tmpBase("parallel")
     Shapefile.write(fixtureRecords, base)

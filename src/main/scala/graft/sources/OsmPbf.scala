@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{ByteArrayOutputStream, DataOutputStream, FileOutputStream, RandomAccessFile}
+import java.io.{ByteArrayOutputStream, DataOutputStream, FileOutputStream}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.zip.{Deflater, Inflater}
 
@@ -243,20 +243,22 @@ object OsmPbf {
 
   private[sources] case class BlobRange(typ: String, offset: Long, size: Int)
 
-  /** Driver-side blob walk: reads each 4-byte length + BlobHeader and
-    * SEEKS past the payload — for a planet file this touches KBs.
+  /** Driver-side blob walk: reads each 4-byte length + BlobHeader via
+    * positioned Hadoop FS reads and SKIPS every payload — for a planet
+    * file this touches KBs, on any FileSystem (file:, hdfs:, s3a:).
     */
   private[sources] def blobIndex(path: String): Seq[BlobRange] = {
-    val raf = new RandomAccessFile(path, "r")
+    val len = FsIO.length(path)
+    val in = FsIO.openStream(path)
     try {
       val out = Seq.newBuilder[BlobRange]
       var off = 0L
-      val len = raf.length()
       while (off < len) {
-        raf.seek(off)
-        val hLen = raf.readInt()
+        val lenBytes = new Array[Byte](4)
+        in.readFully(off, lenBytes, 0, 4)
+        val hLen = java.nio.ByteBuffer.wrap(lenBytes).getInt
         val hBytes = new Array[Byte](hLen)
-        raf.readFully(hBytes)
+        in.readFully(off + 4, hBytes, 0, hLen)
         val r = new Reader(hBytes, 0, hLen)
         var typ = ""; var datasize = -1
         while (r.hasNext) r.tag() match {
@@ -269,7 +271,7 @@ object OsmPbf {
         off += 4 + hLen + datasize
       }
       out.result()
-    } finally raf.close()
+    } finally in.close()
   }
 
   /** Header check: fail loudly on required features we don't implement
@@ -289,14 +291,16 @@ object OsmPbf {
     }
   }
 
-  /** Read + decompress one blob's PrimitiveBlock/HeaderBlock payload. */
-  private def inflateBlob(path: String, b: BlobRange): Array[Byte] = {
-    val raf = new RandomAccessFile(path, "r")
-    val bytes = try {
-      raf.seek(b.offset)
-      val buf = new Array[Byte](b.size)
-      raf.readFully(buf); buf
-    } finally raf.close()
+  /** Read + decompress one blob's PrimitiveBlock/HeaderBlock payload
+    * (positioned Hadoop FS range read — the task-side primitive).
+    */
+  private def inflateBlob(path: String, b: BlobRange): Array[Byte] =
+    inflateBlobBytes(FsIO.readFullyAt(path, b.offset, b.size))
+
+  /** Parse a Blob message (raw / raw_size+zlib_data) and return the
+    * decompressed payload.
+    */
+  private def inflateBlobBytes(bytes: Array[Byte]): Array[Byte] = {
     val r = new Reader(bytes, 0, bytes.length)
     var raw: Array[Byte] = null
     var rawSize = -1
@@ -368,7 +372,25 @@ object OsmPbf {
     val ranges = dataRanges(path)
     val parts = math.min(spark.sparkContext.defaultParallelism, math.max(1, ranges.length))
     spark.createDataset(spark.sparkContext.parallelize(ranges, parts)
-      .flatMap(b => decode(inflateBlob(path, b))))
+      .mapPartitions { it =>
+        // one Hadoop FS handle per task, positioned read per blob (the
+        // Shapefile reader's pattern): blobs stream, never accumulate
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        val out = it.flatMap { b =>
+          if (in == null) in = FsIO.openStream(path)
+          val buf = new Array[Byte](b.size)
+          in.readFully(b.offset, buf, 0, b.size)
+          decode(inflateBlobBytes(buf))
+        }
+        new Iterator[T] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h && in != null) { in.close(); in = null }
+            h
+          }
+          def next(): T = out.next()
+        }
+      })
   }
 
   /** Distributed dense-node decode → (id, lat, lon) in degrees. */

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{DataOutputStream, FileOutputStream, RandomAccessFile}
+import java.io.{DataOutputStream, FileOutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -151,26 +151,21 @@ object Shapefile {
     * headers agree on shape type.
     */
   private[sources] def index(base: String): (Int, IndexedSeq[RecordRange]) = {
-    val raf = new RandomAccessFile(base + ".shx", "r")
-    try {
-      val head = new Array[Byte](100)
-      raf.readFully(head)
-      val hb = ByteBuffer.wrap(head)
-      hb.order(ByteOrder.BIG_ENDIAN)
-      require(hb.getInt(0) == 9994, s"not a shapefile index: bad file code in $base.shx")
-      hb.order(ByteOrder.LITTLE_ENDIAN)
-      require(hb.getInt(28) == 1000, "unsupported shapefile version")
-      val shapeType = hb.getInt(32)
-      val fileWords = { hb.order(ByteOrder.BIG_ENDIAN); hb.getInt(24) }
-      val nRec = (fileWords * 2 - 100) / 8
-      val body = new Array[Byte](8 * nRec)
-      raf.readFully(body)
-      val bb = ByteBuffer.wrap(body); bb.order(ByteOrder.BIG_ENDIAN)
-      val recs = (0 until nRec).map { i =>
-        RecordRange(i.toLong, bb.getInt(8 * i).toLong * 2, bb.getInt(8 * i + 4) * 2)
-      }
-      (shapeType, recs)
-    } finally raf.close()
+    val head = FsIO.readFullyAt(base + ".shx", 0, 100)
+    val hb = ByteBuffer.wrap(head)
+    hb.order(ByteOrder.BIG_ENDIAN)
+    require(hb.getInt(0) == 9994, s"not a shapefile index: bad file code in $base.shx")
+    hb.order(ByteOrder.LITTLE_ENDIAN)
+    require(hb.getInt(28) == 1000, "unsupported shapefile version")
+    val shapeType = hb.getInt(32)
+    val fileWords = { hb.order(ByteOrder.BIG_ENDIAN); hb.getInt(24) }
+    val nRec = (fileWords * 2 - 100) / 8
+    val body = FsIO.readFullyAt(base + ".shx", 100, 8 * nRec)
+    val bb = ByteBuffer.wrap(body); bb.order(ByteOrder.BIG_ENDIAN)
+    val recs = (0 until nRec).map { i =>
+      RecordRange(i.toLong, bb.getInt(8 * i).toLong * 2, bb.getInt(8 * i + 4) * 2)
+    }
+    (shapeType, recs)
   }
 
   /** Distributed polygon read: (id, rings) with id = 0-based record index
@@ -186,18 +181,17 @@ object Shapefile {
                 else math.min(spark.sparkContext.defaultParallelism, math.max(1, recs.length))
     spark.sparkContext.parallelize(recs, parts)
       .mapPartitions { it =>
-        // one file handle per task, seek per record — parquet-row-group-
-        // style range reads; records stream, never accumulate
-        var raf: RandomAccessFile = null
-        def file(): RandomAccessFile = {
-          if (raf == null) raf = new RandomAccessFile(base + ".shp", "r")
-          raf
+        // one Hadoop FS handle per task, positioned read per record —
+        // parquet-row-group-style range reads on ANY FileSystem (file:,
+        // hdfs:, s3a:); records stream, never accumulate
+        var fin: org.apache.hadoop.fs.FSDataInputStream = null
+        def file(): org.apache.hadoop.fs.FSDataInputStream = {
+          if (fin == null) fin = FsIO.openStream(base + ".shp")
+          fin
         }
         val out = it.flatMap { r =>
-          val f = file()
-          f.seek(r.offset)
           val buf = new Array[Byte](8 + r.contentBytes)
-          f.readFully(buf)
+          file().readFully(r.offset, buf, 0, buf.length)
           val b = ByteBuffer.wrap(buf)
           b.order(ByteOrder.BIG_ENDIAN)
           val recNo = b.getInt(0)
@@ -226,7 +220,7 @@ object Shapefile {
         new Iterator[(Long, Seq[Seq[(Double, Double)]])] {
           def hasNext: Boolean = {
             val h = out.hasNext
-            if (!h && raf != null) { raf.close(); raf = null }
+            if (!h && fin != null) { fin.close(); fin = null }
             h
           }
           def next(): (Long, Seq[Seq[(Double, Double)]]) = out.next()

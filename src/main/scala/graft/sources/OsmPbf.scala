@@ -257,6 +257,10 @@ object OsmPbf {
         val lenBytes = new Array[Byte](4)
         in.readFully(off, lenBytes, 0, 4)
         val hLen = java.nio.ByteBuffer.wrap(lenBytes).getInt
+        // spec: BlobHeader MUST be < 64 KiB — also the OOM guard against
+        // walking a corrupt/non-PBF file
+        require(hLen > 0 && hLen < 64 * 1024,
+          s"BlobHeader length $hLen at offset $off out of spec (must be < 64 KiB)")
         val hBytes = new Array[Byte](hLen)
         in.readFully(off + 4, hBytes, 0, hLen)
         val r = new Reader(hBytes, 0, hLen)
@@ -267,6 +271,9 @@ object OsmPbf {
           case (_, wt) => r.skip(wt)
         }
         require(datasize >= 0, s"BlobHeader without datasize at offset $off")
+        // spec: compressed blob MUST be < 32 MiB
+        require(datasize < 32 * 1024 * 1024,
+          s"blob of $datasize bytes at offset $off out of spec (must be < 32 MiB)")
         out += BlobRange(typ, off + 4 + hLen, datasize)
         off += 4 + hLen + datasize
       }
@@ -314,6 +321,9 @@ object OsmPbf {
     if (raw != null) raw
     else {
       require(zlibData != null, "blob with neither raw nor zlib_data")
+      // spec: uncompressed blob MUST be < 32 MiB
+      require(rawSize >= 0 && rawSize < 32 * 1024 * 1024,
+        s"blob raw_size $rawSize out of spec (must be in [0, 32 MiB))")
       val inf = new Inflater()
       inf.setInput(zlibData)
       val out = new Array[Byte](rawSize)
@@ -393,7 +403,12 @@ object OsmPbf {
       })
   }
 
-  /** Distributed dense-node decode → (id, lat, lon) in degrees. */
+  /** Distributed dense-node decode → (id, lat, lon) in degrees. Node tags
+    * (DenseNodes keys_vals, field 10) are deliberately not extracted: the
+    * polygon pipeline consumes node coordinates only (the reference's
+    * import keeps node tags but its topology path never reads them), and
+    * the field is safely skipped by wire type.
+    */
   def nodes(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     distribute[(Long, Double, Double)](spark, path) { payload =>
@@ -471,6 +486,11 @@ object OsmPbf {
               case (10, 2) => types = w.packedWire(zz = false)
               case (_, wt) => w.skip(wt)
             }
+            require(keys.length == vals.length,
+              s"relation $id: keys/vals length mismatch (${keys.length}/${vals.length})")
+            require(roles.length == memids.length && types.length == memids.length,
+              s"relation $id: member array length mismatch " +
+                s"(roles ${roles.length}, memids ${memids.length}, types ${types.length})")
             val tags = keys.zip(vals).map { case (k, v) =>
               (ctx.strings(k.toInt), ctx.strings(v.toInt))
             }.toMap

@@ -196,6 +196,15 @@ class OsmPbfSpec extends SparkTestBase {
     }
   }
 
+  test("corrupt files fail loudly: oversized header length, not an allocation") {
+    val dir = Files.createTempDirectory("pbf_corrupt")
+    // a 2 GB BlobHeader length — must hit the spec guard, not OOM
+    val bad = dir.resolve("bad.osm.pbf")
+    Files.write(bad, Array[Byte](0x7f, -1, -1, -1, 0, 0, 0, 0))
+    val err = intercept[IllegalArgumentException](OsmPbf.blobIndex(bad.toString))
+    assert(err.getMessage.contains("64 KiB"))
+  }
+
   test("empty pbf: header-only file, zero rows from all three readers") {
     val path = Files.createTempDirectory("pbf_empty").resolve("e.osm.pbf").toString
     OsmPbf.write(Nil, Nil, Nil, path)

@@ -2540,11 +2540,16 @@ object SparkEntry {
        |  ) AS t(id, pos, ref)""".stripMargin
   }
 
+  /** SQL single-quote escape for fixture strings embedded in VALUES —
+    * a fixture value like name=L'Aquila must not break the oracle parse.
+    */
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
   private def pbfRelsOracle: String = {
     val rows = (for {
       r <- Fixtures.osm._3.sortBy(_.id)
       (m, i) <- r.members.zipWithIndex
-    } yield s"(${r.id}, $i, ${m.id}, ${m.mtype}, '${m.role}')").mkString(",\n    ")
+    } yield s"(${r.id}, $i, ${m.id}, ${m.mtype}, ${sqlStr(m.role)})").mkString(",\n    ")
     s"""SELECT CAST(id AS BIGINT) AS id, CAST(seq AS BIGINT) AS seq,
        |       CAST(mid AS BIGINT) AS mid, CAST(mtype AS INT) AS mtype, role
        |FROM (VALUES
@@ -2556,7 +2561,7 @@ object SparkEntry {
     val rows = (for {
       r <- Fixtures.osm._3.sortBy(_.id)
       (k, v) <- r.tags.toSeq.sortBy(_._1)
-    } yield s"(${r.id}, '$k', '$v')").mkString(",\n    ")
+    } yield s"(${r.id}, ${sqlStr(k)}, ${sqlStr(v)})").mkString(",\n    ")
     s"""SELECT CAST(id AS BIGINT) AS id, k, v
        |FROM (VALUES
        |    $rows

@@ -71,12 +71,19 @@ object OsmPbf {
     def bytes: Array[Byte] = out.toByteArray
   }
 
+  /** Every length field is validated against the enclosing slice before
+    * use — a corrupt/hostile file whose varint length is negative or
+    * overruns its parent message fails with a clear message instead of
+    * walking backwards (infinite driver loop) or silently parsing
+    * sibling-field bytes as entities.
+    */
   private final class Reader(val buf: Array[Byte], start: Int, end: Int) {
     var pos: Int = start
     def hasNext: Boolean = pos < end
     def varint(): Long = {
       var shift = 0; var v = 0L
       while (true) {
+        require(pos < end, s"truncated varint at offset $pos")
         val b = buf(pos); pos += 1
         v |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return v
@@ -88,19 +95,29 @@ object OsmPbf {
     def zigzag(): Long = { val v = varint(); (v >>> 1) ^ -(v & 1) }
     /** returns (field, wireType) */
     def tag(): (Int, Int) = { val k = varint(); ((k >>> 3).toInt, (k & 7).toInt) }
+    private def boundedLen(): Int = {
+      val n = varint()
+      require(n >= 0 && pos + n <= end,
+        s"length $n at offset $pos overruns message end $end")
+      n.toInt
+    }
     def lenDelim(): Reader = {
-      val n = varint().toInt
+      val n = boundedLen()
       val r = new Reader(buf, pos, pos + n); pos += n; r
     }
     def rawBytes(): Array[Byte] = {
-      val n = varint().toInt
+      val n = boundedLen()
       val b = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; b
     }
     def skip(wt: Int): Unit = wt match {
       case 0 => varint()
-      case 1 => pos += 8
-      case 2 => val n = varint().toInt; pos += n
-      case 5 => pos += 4
+      case 1 => require(pos + 8 <= end, "truncated fixed64"); pos += 8
+      case 2 =>
+        // two statements on purpose: `pos += boundedLen()` reads the OLD
+        // pos before boundedLen() advances it past the length varint,
+        // silently rewinding the cursor
+        val n = boundedLen(); pos += n
+      case 5 => require(pos + 4 <= end, "truncated fixed32"); pos += 4
       case w => throw new IllegalArgumentException(s"unsupported wire type $w")
     }
     def packedLongs(zz: Boolean): Seq[Long] = {
@@ -108,6 +125,17 @@ object OsmPbf {
       val out = Seq.newBuilder[Long]
       while (r.hasNext) out += (if (zz) r.zigzag() else r.varint())
       out.result()
+    }
+    /** One occurrence of a repeated scalar field: wire type 2 appends the
+      * whole packed segment, wire type 0 appends one unpacked value —
+      * proto2 parsers MUST accept both forms (a conformant producer may
+      * emit either), and a packed field may also arrive in several
+      * segments.
+      */
+    def repeated(into: Seq[Long], wt: Int, zz: Boolean): Seq[Long] = wt match {
+      case 2 => into ++ packedLongs(zz)
+      case 0 => into :+ (if (zz) zigzag() else varint())
+      case w => throw new IllegalArgumentException(s"repeated scalar field with wire type $w")
     }
   }
 
@@ -284,7 +312,7 @@ object OsmPbf {
   /** Header check: fail loudly on required features we don't implement
     * (the spec's mandated behavior for unknown required_features).
     */
-  private def checkHeader(path: String, ranges: Seq[BlobRange]): Unit = {
+  private[sources] def checkHeader(path: String, ranges: Seq[BlobRange]): Unit = {
     val supported = Set("OsmSchema-V0.6", "DenseNodes")
     ranges.find(_.typ == "OSMHeader").foreach { h =>
       val payload = inflateBlob(path, h)
@@ -301,7 +329,7 @@ object OsmPbf {
   /** Read + decompress one blob's PrimitiveBlock/HeaderBlock payload
     * (positioned Hadoop FS range read — the task-side primitive).
     */
-  private def inflateBlob(path: String, b: BlobRange): Array[Byte] =
+  private[sources] def inflateBlob(path: String, b: BlobRange): Array[Byte] =
     inflateBlobBytes(FsIO.readFullyAt(path, b.offset, b.size))
 
   /** Parse a Blob message (raw / raw_size+zlib_data) and return the
@@ -369,10 +397,29 @@ object OsmPbf {
     groups.result().iterator.flatMap(g => onGroup(ctx, g))
   }
 
-  private def dataRanges(path: String): Seq[BlobRange] = {
-    val ranges = blobIndex(path)
-    checkHeader(path, ranges)
-    ranges.filter(_.typ == "OSMData")
+  /** The driver-side blob walk + header check, memoized per
+    * (path, file length): the 3-pass import (nodes, ways, relations over
+    * one file) would otherwise repeat ~2 positioned reads per blob three
+    * times — ~10⁵ redundant object-store round trips on a planet file.
+    * Keyed by length so a rewritten file re-indexes; bounded at 16
+    * entries (driver reads a handful of files per job).
+    */
+  private val rangesCache =
+    new java.util.LinkedHashMap[(String, Long), Seq[BlobRange]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Seq[BlobRange]]): Boolean = size() > 16
+    }
+
+  private def dataRanges(path: String): Seq[BlobRange] = rangesCache.synchronized {
+    val key = (path, FsIO.length(path))
+    var v = rangesCache.get(key)
+    if (v == null) {
+      val ranges = blobIndex(path)
+      checkHeader(path, ranges)
+      v = ranges.filter(_.typ == "OSMData")
+      rangesCache.put(key, v)
+    }
+    v
   }
 
   private def distribute[T: org.apache.spark.sql.Encoder: scala.reflect.ClassTag](
@@ -384,8 +431,15 @@ object OsmPbf {
     spark.createDataset(spark.sparkContext.parallelize(ranges, parts)
       .mapPartitions { it =>
         // one Hadoop FS handle per task, positioned read per blob (the
-        // Shapefile reader's pattern): blobs stream, never accumulate
+        // Shapefile reader's pattern): blobs stream, never accumulate.
+        // The task-completion listener closes the stream even when the
+        // iterator is abandoned early (limit/take) or a decode throws —
+        // the drain-time close alone would leak a descriptor per task.
         var in: org.apache.hadoop.fs.FSDataInputStream = null
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            if (in != null) { in.close(); in = null }
+          })
         val out = it.flatMap { b =>
           if (in == null) in = FsIO.openStream(path)
           val buf = new Array[Byte](b.size)
@@ -418,9 +472,9 @@ object OsmPbf {
           case (2, 2) =>
             val d = g.lenDelim()
             while (d.hasNext) d.tag() match {
-              case (1, 2) => ids = d.packedWire(zz = true)
-              case (8, 2) => lats = d.packedWire(zz = true)
-              case (9, 2) => lons = d.packedWire(zz = true)
+              case (1, wt) if wt != 5 && wt != 1 => ids = d.repeated(ids, wt, zz = true)
+              case (8, wt) if wt != 5 && wt != 1 => lats = d.repeated(lats, wt, zz = true)
+              case (9, wt) if wt != 5 && wt != 1 => lons = d.repeated(lons, wt, zz = true)
               case (_, wt) => d.skip(wt)
             }
           case (_, wt) => g.skip(wt)
@@ -452,10 +506,11 @@ object OsmPbf {
             var id = 0L; var refs = Seq.empty[Long]
             while (w.hasNext) w.tag() match {
               case (1, 0) => id = w.varint()
-              case (8, 2) => refs = w.packedWire(zz = true).scanLeft(0L)(_ + _).tail
+              case (8, wt) if wt != 5 && wt != 1 => refs = w.repeated(refs, wt, zz = true)
               case (_, wt) => w.skip(wt)
             }
-            out += ((id, refs))
+            // delta chain decoded once ALL occurrences are in
+            out += ((id, refs.scanLeft(0L)(_ + _).tail))
           case (_, wt) => g.skip(wt)
         }
         out.result().iterator
@@ -479,13 +534,14 @@ object OsmPbf {
             var memids = Seq.empty[Long]
             while (w.hasNext) w.tag() match {
               case (1, 0) => id = w.varint()
-              case (2, 2) => keys = w.packedWire(zz = false)
-              case (3, 2) => vals = w.packedWire(zz = false)
-              case (8, 2) => roles = w.packedWire(zz = false)
-              case (9, 2) => memids = w.packedWire(zz = true).scanLeft(0L)(_ + _).tail
-              case (10, 2) => types = w.packedWire(zz = false)
+              case (2, wt) if wt != 5 && wt != 1 => keys = w.repeated(keys, wt, zz = false)
+              case (3, wt) if wt != 5 && wt != 1 => vals = w.repeated(vals, wt, zz = false)
+              case (8, wt) if wt != 5 && wt != 1 => roles = w.repeated(roles, wt, zz = false)
+              case (9, wt) if wt != 5 && wt != 1 => memids = w.repeated(memids, wt, zz = true)
+              case (10, wt) if wt != 5 && wt != 1 => types = w.repeated(types, wt, zz = false)
               case (_, wt) => w.skip(wt)
             }
+            memids = memids.scanLeft(0L)(_ + _).tail // delta chain, after all occurrences
             require(keys.length == vals.length,
               s"relation $id: keys/vals length mismatch (${keys.length}/${vals.length})")
             require(roles.length == memids.length && types.length == memids.length,
@@ -507,7 +563,4 @@ object OsmPbf {
         expr("transform(members, m -> struct(m._1 AS id, m._2 AS type, m._3 AS role))"))
   }
 
-  private implicit final class PackedOps(private val r: Reader) extends AnyVal {
-    def packedWire(zz: Boolean): Seq[Long] = r.packedLongs(zz)
-  }
 }

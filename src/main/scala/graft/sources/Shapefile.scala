@@ -96,6 +96,14 @@ object Shapefile {
   private def recordContent(rings: Seq[Seq[(Double, Double)]]): Array[Byte] = {
     val numParts = rings.length
     val numPoints = rings.map(_.length).sum
+    if (numPoints == 0) {
+      // a record with no points is written as a spec null shape (type 0)
+      // — readers skip it; the old behavior was an empty.min crash
+      val nb = ByteBuffer.allocate(4)
+      nb.order(ByteOrder.LITTLE_ENDIAN)
+      nb.putInt(NullType)
+      return nb.array()
+    }
     val b = ByteBuffer.allocate(4 + 32 + 8 + 4 * numParts + 16 * numPoints)
     b.order(ByteOrder.LITTLE_ENDIAN)
     b.putInt(PolygonType)
@@ -159,7 +167,15 @@ object Shapefile {
     require(hb.getInt(28) == 1000, "unsupported shapefile version")
     val shapeType = hb.getInt(32)
     val fileWords = { hb.order(ByteOrder.BIG_ENDIAN); hb.getInt(24) }
-    val nRec = (fileWords * 2 - 100) / 8
+    val declared = fileWords.toLong * 2 // Long: a >2 GiB .shx overflows Int
+    val actual = FsIO.length(base + ".shx")
+    // a header that understates the length would silently drop trailing
+    // records; fail loudly instead of losing data
+    require(declared == actual,
+      s"$base.shx header declares $declared bytes but file is $actual")
+    require(declared - 100 <= Int.MaxValue.toLong,
+      s"$base.shx larger than 2 GiB — index exceeds a single driver buffer")
+    val nRec = ((declared - 100) / 8).toInt
     val body = FsIO.readFullyAt(base + ".shx", 100, 8 * nRec)
     val bb = ByteBuffer.wrap(body); bb.order(ByteOrder.BIG_ENDIAN)
     val recs = (0 until nRec).map { i =>
@@ -183,8 +199,14 @@ object Shapefile {
       .mapPartitions { it =>
         // one Hadoop FS handle per task, positioned read per record —
         // parquet-row-group-style range reads on ANY FileSystem (file:,
-        // hdfs:, s3a:); records stream, never accumulate
+        // hdfs:, s3a:); records stream, never accumulate. Completion
+        // listener closes the handle even on early abandonment
+        // (limit/take) or a parse exception mid-partition.
         var fin: org.apache.hadoop.fs.FSDataInputStream = null
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            if (fin != null) { fin.close(); fin = null }
+          })
         def file(): org.apache.hadoop.fs.FSDataInputStream = {
           if (fin == null) fin = FsIO.openStream(base + ".shp")
           fin

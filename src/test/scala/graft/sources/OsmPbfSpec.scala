@@ -196,6 +196,73 @@ class OsmPbfSpec extends SparkTestBase {
     }
   }
 
+  test("unpacked repeated fields decode identically (proto2 requires accepting both forms)") {
+    // hand-build an uncompressed OSMData blob whose Way emits refs as
+    // UNPACKED wire-type-0 entries (one tag per value) — legal proto2
+    // that a packed-only parser silently drops
+    val bos = new ByteArrayOutputStream(); val d = new DataOutputStream(bos)
+    def varint(out: DataOutputStream, v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    def zig(n: Long): Long = (n << 1) ^ (n >> 63)
+    def lenDelim(out: DataOutputStream, field: Int, b: Array[Byte]): Unit = {
+      varint(out, (field << 3) | 2); varint(out, b.length.toLong); out.write(b)
+    }
+    def msg(build: DataOutputStream => Unit): Array[Byte] = {
+      val m = new ByteArrayOutputStream(); val md = new DataOutputStream(m); build(md); m.toByteArray
+    }
+    val refs = Seq(100L, 40L, -25L) // delta-coded: decodes to 100, 140, 115
+    val way = msg { w =>
+      varint(w, (1 << 3) | 0); varint(w, 77L)                  // id
+      refs.foreach { r => varint(w, (8 << 3) | 0); varint(w, zig(r)) } // UNPACKED sint64
+    }
+    val group = msg { g => lenDelim(g, 3, way) }
+    val strtab = msg { st => lenDelim(st, 1, Array.empty[Byte]) }
+    val block = msg { b => lenDelim(b, 1, strtab); lenDelim(b, 2, group) }
+    val blob = msg { b => lenDelim(b, 1, block) } // raw, uncompressed
+    val header = msg { h =>
+      lenDelim(h, 1, "OSMData".getBytes(UTF_8))
+      varint(h, (3 << 3) | 0); varint(h, blob.length.toLong)
+    }
+    d.writeInt(header.length); d.write(header); d.write(blob)
+    val path = Files.createTempDirectory("pbf_unpacked").resolve("u.osm.pbf")
+    Files.write(path, bos.toByteArray)
+    val got = OsmPbf.ways(spark, path.toString).as[(Long, Seq[Long])].collect()
+    assert(got.toSeq == Seq((77L, Seq(100L, 140L, 115L))))
+  }
+
+  test("corrupt length fields fail loudly instead of looping or misparsing") {
+    // an OSMData blob whose inner length varint decodes to a huge value:
+    // must raise the bounds error, not walk backwards forever
+    val bos = new ByteArrayOutputStream(); val d = new DataOutputStream(bos)
+    def varint(out: DataOutputStream, v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    def msg(build: DataOutputStream => Unit): Array[Byte] = {
+      val m = new ByteArrayOutputStream(); val md = new DataOutputStream(m); build(md); m.toByteArray
+    }
+    val badBlob = msg { b =>
+      varint(b, (1 << 3) | 2)          // raw=1, length-delimited
+      varint(b, 4294967286L)           // length whose toInt is NEGATIVE
+    }
+    val header = msg { h =>
+      varint(h, (1 << 3) | 2); varint(h, 7L); h.write("OSMData".getBytes(UTF_8))
+      varint(h, (3 << 3) | 0); varint(h, badBlob.length.toLong)
+    }
+    d.writeInt(header.length); d.write(header); d.write(badBlob)
+    val path = Files.createTempDirectory("pbf_badlen").resolve("b.osm.pbf")
+    Files.write(path, bos.toByteArray)
+    val err = intercept[Exception](OsmPbf.nodes(spark, path.toString).collect())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(err).exists(m => m != null && m.contains("overruns")),
+      s"expected bounds error, got: ${chain(err)}")
+  }
+
   test("corrupt files fail loudly: oversized header length, not an allocation") {
     val dir = Files.createTempDirectory("pbf_corrupt")
     // a 2 GB BlobHeader length — must hit the spec guard, not OOM

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{DataOutputStream, FileOutputStream, RandomAccessFile}
+import java.io.{DataOutputStream, FileOutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.file.Files
 
@@ -194,6 +194,30 @@ class ShapefileSpec extends SparkTestBase {
     Shapefile.write(Nil, base)
     assert(Files.size(java.nio.file.Paths.get(base + ".shp")) == 100, "header-only .shp")
     assert(Shapefile.read(spark, base).count() == 0)
+  }
+
+  test("point-less record writes as a null shape; neighbors keep their indices") {
+    val base = tmpBase("nullrec")
+    val ring = Seq((0.0, 0.0), (2.0, 0.0), (1.0, 2.0), (0.0, 0.0))
+    Shapefile.write(Seq(Seq(ring), Seq(Seq()), Seq(ring)), base)
+    val rows = Shapefile.read(spark, base)
+      .as[(Long, Seq[Seq[(Double, Double)]])].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 2L), "empty record skipped as null shape")
+    rows.foreach { case (_, rings) => assert(rings == Seq(ring)) }
+  }
+
+  test("truncated .shx header length fails loudly instead of dropping records") {
+    val base = tmpBase("shxlie")
+    Shapefile.write(fixtureRecords, base)
+    val shx = java.nio.file.Paths.get(base + ".shx")
+    val bytes = Files.readAllBytes(shx)
+    // understate the declared length by one record
+    val b = ByteBuffer.wrap(bytes)
+    b.order(ByteOrder.BIG_ENDIAN)
+    b.putInt(24, (bytes.length - 8) / 2)
+    Files.write(shx, bytes)
+    val err = intercept[IllegalArgumentException](Shapefile.read(spark, base))
+    assert(err.getMessage.contains("declares"))
   }
 
   test("reader parallelism: record ranges split across partitions, one handle each") {

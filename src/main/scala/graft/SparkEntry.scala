@@ -752,6 +752,28 @@ object SparkEntry {
           .select(col("id"), explode(col("tags")))
           .toDF("id", "k", "v")
       }),
+      // S9 from REAL bytes: osmChange (.osc.gz) replication diffs — the
+      // format the reference's update loop consumes. Sequence files are
+      // the unit of parallelism (XML isn't splittable; a backlog of
+      // sequences fans out per file); q_osc_apply runs the remove/upsert
+      // MERGE semantics distributed and the oracle replays them in SQL
+      "q_osc_nodes" -> ((s, dir) =>
+        sources.OscDiff.nodes(s, oscScratch(dir))),
+      "q_osc_rels" -> ((s, dir) => {
+        val rels = sources.OscDiff.relations(s, oscScratch(dir))
+        rels.select(col("seq"), col("ord"), col("action"), col("id"),
+          posexplode_outer(col("members")),
+          array_join(sort_array(expr(
+            "transform(map_entries(tags), e -> concat(e.key, '=', e.value))")), "|")
+            .as("tags_cat"))
+          .select(col("seq"), col("ord"), col("action"), col("id"),
+            col("pos").cast("long").as("mseq"), col("col.id").as("mid"),
+            col("col.type").as("mtype"), col("col.role"), col("tags_cat"))
+      }),
+      "q_osc_apply" -> ((s, dir) =>
+        sources.OscDiff.applyNodes(
+          Fixtures.nodesDf(s).select("id", "lat", "lon"),
+          sources.OscDiff.nodes(s, oscScratch(dir)))),
       "q_pbf_polygons" -> ((s, dir) => {
         val pbf = pbfScratch(dir) + "/fixture.osm.pbf"
         val polys = Ingest.polygons(s, sources.OsmPbf.nodes(s, pbf),
@@ -1070,6 +1092,11 @@ object SparkEntry {
     // fixture-table path — polygonsOracle shared verbatim (possible
     // because the division decode makes grid coordinates bit-exact)
     "q_pbf_polygons" -> polygonsOracle,
+    // osmChange replication decode + the remove/upsert apply semantics
+    // replayed in SQL (see oscNodesOracle/oscRelsOracle/oscApplyOracle)
+    "q_osc_nodes" -> oscNodesOracle,
+    "q_osc_rels" -> oscRelsOracle,
+    "q_osc_apply" -> oscApplyOracle,
     // IVF ANN — the full index build (seeded init + 2 Lloyd rounds with
     // DECIMAL-exact means) and probe replayed in SQL (see ivfOracle)
     "q_ann_ivf" -> ivfOracle,
@@ -2566,6 +2593,111 @@ object SparkEntry {
        |FROM (VALUES
        |    $rows
        |  ) AS t(id, k, v)""".stripMargin
+  }
+
+  /** DONE-gated scratch dir with the fixture's `<seq>.osc.gz` replication
+    * files ([[Fixtures.oscChanges]]).
+    */
+  private def oscScratch(sfDir: String): String = {
+    val root = scratchRoot("osc", sfDir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "DONE")))
+      buildScratch(root) { work =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
+        Fixtures.oscChanges.foreach { case (seq, cs) =>
+          sources.OscDiff.write(work, seq, cs)
+        }
+      }
+    root
+  }
+
+  /** The fixture diffs replayed in write order, assigning the same
+    * document-position `ord` the writer produces (every entity element
+    * of ANY kind advances it) — the decode oracles enumerate these rows.
+    */
+  private def oscRows: Seq[(Long, Long, String, String, Long, Double, Double,
+                            Map[String, String], Seq[(Long, Int, String)])] =
+    Fixtures.oscChanges.flatMap { case (seq, cs) =>
+      var ord = 0L
+      cs.flatMap { c =>
+        val ns = c.nodes.map { case (id, la, lo) =>
+          ord += 1; (seq, ord, c.action, "node", id, la, lo,
+            Map.empty[String, String], Seq.empty[(Long, Int, String)])
+        }
+        val ws = c.ways.map { case (id, _) =>
+          ord += 1; (seq, ord, c.action, "way", id, 0.0, 0.0,
+            Map.empty[String, String], Seq.empty[(Long, Int, String)])
+        }
+        val rs = c.relations.map { case (id, tags, members) =>
+          ord += 1; (seq, ord, c.action, "relation", id, 0.0, 0.0, tags, members)
+        }
+        ns ++ ws ++ rs
+      }
+    }
+
+  /** q_osc_nodes oracle: every decoded node-change row. */
+  private def oscNodesOracle: String = {
+    val rows = oscRows.filter(_._4 == "node").map { case (seq, ord, a, _, id, la, lo, _, _) =>
+      s"($seq, $ord, ${sqlStr(a)}, $id, '$la', '$lo')"
+    }.mkString(",\n    ")
+    s"""SELECT CAST(seq AS BIGINT) AS seq, CAST(ord AS BIGINT) AS ord, action,
+       |       CAST(id AS BIGINT) AS id,
+       |       CAST(lat AS DOUBLE) AS lat, CAST(lon AS DOUBLE) AS lon
+       |FROM (VALUES
+       |    $rows
+       |  ) AS t(seq, ord, action, id, lat, lon)""".stripMargin
+  }
+
+  /** q_osc_rels oracle: relation changes with members exploded OUTER (a
+    * delete has none — its row survives with null member fields) and the
+    * tags flattened to a sorted `k=v|k=v` string.
+    */
+  private def oscRelsOracle: String = {
+    val rows = oscRows.filter(_._4 == "relation").flatMap {
+      case (seq, ord, a, _, id, _, _, tags, members) =>
+        val cat = sqlStr(tags.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("|"))
+        if (members.isEmpty)
+          Seq(s"($seq, $ord, ${sqlStr(a)}, $id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS VARCHAR), $cat)")
+        else members.zipWithIndex.map { case ((mid, mt, role), i) =>
+          s"($seq, $ord, ${sqlStr(a)}, $id, $i, $mid, $mt, ${sqlStr(role)}, $cat)"
+        }
+    }.mkString(",\n    ")
+    s"""SELECT CAST(seq AS BIGINT) AS seq, CAST(ord AS BIGINT) AS ord, action,
+       |       CAST(id AS BIGINT) AS id, CAST(mseq AS BIGINT) AS mseq,
+       |       CAST(mid AS BIGINT) AS mid, CAST(mtype AS INT) AS mtype, role,
+       |       tags_cat
+       |FROM (VALUES
+       |    $rows
+       |  ) AS t(seq, ord, action, id, mseq, mid, mtype, role, tags_cat)""".stripMargin
+  }
+
+  /** q_osc_apply oracle: the remove/upsert replication semantics replayed
+    * in SQL — last (seq, ord) winner per id, winner deletes drop the id,
+    * anything else upserts — over the fixture base nodes + decoded diffs.
+    */
+  private def oscApplyOracle: String = {
+    val base = Fixtures.osm._1.sortBy(_.id)
+      .map(n => s"(${n.id}, '${n.lat}', '${n.lon}')").mkString(",\n    ")
+    val chg = oscRows.filter(_._4 == "node").map { case (seq, ord, a, _, id, la, lo, _, _) =>
+      s"($seq, $ord, ${sqlStr(a)}, $id, '$la', '$lo')"
+    }.mkString(",\n    ")
+    s"""WITH base AS (SELECT CAST(id AS BIGINT) AS id, CAST(lat AS DOUBLE) AS lat,
+       |                     CAST(lon AS DOUBLE) AS lon
+       |              FROM (VALUES
+       |    $base
+       |  ) AS t(id, lat, lon)),
+       |chg AS (SELECT CAST(seq AS BIGINT) AS seq, CAST(ord AS BIGINT) AS ord, action,
+       |               CAST(id AS BIGINT) AS id, CAST(lat AS DOUBLE) AS lat,
+       |               CAST(lon AS DOUBLE) AS lon
+       |        FROM (VALUES
+       |    $chg
+       |  ) AS t(seq, ord, action, id, lat, lon)),
+       |win AS (SELECT * FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY id ORDER BY seq DESC, ord DESC) AS rn
+       |          FROM chg) WHERE rn = 1)
+       |SELECT b.id, b.lat, b.lon FROM base b
+       |WHERE NOT EXISTS (SELECT 1 FROM win w WHERE w.id = b.id)
+       |UNION ALL
+       |SELECT id, lat, lon FROM win WHERE action <> 'delete'""".stripMargin
   }
 
   /** Independent decode oracle (q_shp_decode): what the binary file MUST

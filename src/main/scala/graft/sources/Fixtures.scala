@@ -413,6 +413,32 @@ object Fixtures {
     }
   }
 
+  /** Deterministic osmChange replication fixture (q_osc_* queries): two
+    * sequences over the [[osm]] entity set exercising every action on
+    * every kind, cross-sequence overwrite (node 910001 modified in seq 2
+    * after its seq-1 create), same-sequence create-then-delete
+    * (910002), a delete of an existing node, and XML/SQL-escape hazards
+    * (apostrophe + angle bracket in tag values).
+    */
+  lazy val oscChanges: Seq[(Long, Seq[OscDiff.Change])] = {
+    val ns = osm._1.sortBy(_.id)
+    val mod1 = ns.take(5).map(n => (n.id, n.lat + 0.25, n.lon - 0.125))
+    Seq(
+      1L -> Seq(
+        OscDiff.Change(OscDiff.Modify, nodes = mod1,
+          ways = Seq((10010L, Seq(1L, 2L, 3L)))),
+        OscDiff.Change(OscDiff.Delete, nodes = Seq((100999L, 0.0, 0.0))),
+        OscDiff.Change(OscDiff.Create,
+          nodes = Seq((910001L, 10.125, 20.25), (910002L, -5.5, 30.75)),
+          relations = Seq((990L,
+            Map("name" -> "l'étang <est>", "boundary" -> "administrative"),
+            Seq((910001L, 0, "admin_centre"), (10010L, 1, "outer")))))),
+      2L -> Seq(
+        OscDiff.Change(OscDiff.Modify, nodes = Seq((910001L, 11.125, 21.25))),
+        OscDiff.Change(OscDiff.Delete, nodes = Seq((910002L, 0.0, 0.0)),
+          relations = Seq((990L, Map.empty[String, String], Nil)))))
+  }
+
   /** dpRects as a topology-ready feature table (objId, wkb, bbox). */
   def dpRectsDf(spark: SparkSession): DataFrame = {
     import spark.implicits._

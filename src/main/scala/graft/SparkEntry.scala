@@ -763,8 +763,14 @@ object SparkEntry {
         val rels = sources.OscDiff.relations(s, oscScratch(dir))
         rels.select(col("seq"), col("ord"), col("action"), col("id"),
           posexplode_outer(col("members")),
-          array_join(sort_array(expr(
-            "transform(map_entries(tags), e -> concat(e.key, '=', e.value))")), "|")
+          // sort ENTRIES BY KEY, not the concatenated strings: sorting
+          // "k=v" strings diverges from the oracle's key sort whenever
+          // one key prefixes another ("name" vs "name:nl" — ':' < '=')
+          expr("""array_join(transform(
+                 |  array_sort(map_entries(tags),
+                 |    (l, r) -> CASE WHEN l.key < r.key THEN -1
+                 |                   WHEN l.key > r.key THEN 1 ELSE 0 END),
+                 |  e -> concat(e.key, '=', e.value)), '|')""".stripMargin)
             .as("tags_cat"))
           .select(col("seq"), col("ord"), col("action"), col("id"),
             col("pos").cast("long").as("mseq"), col("col.id").as("mid"),

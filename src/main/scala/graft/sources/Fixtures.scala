@@ -415,10 +415,13 @@ object Fixtures {
 
   /** Deterministic osmChange replication fixture (q_osc_* queries): two
     * sequences over the [[osm]] entity set exercising every action on
-    * every kind, cross-sequence overwrite (node 910001 modified in seq 2
-    * after its seq-1 create), same-sequence create-then-delete
-    * (910002), a delete of an existing node, and XML/SQL-escape hazards
-    * (apostrophe + angle bracket in tag values).
+    * every kind, cross-sequence overwrite (node 910001 created in seq 1,
+    * modified in seq 2), SAME-sequence create-then-delete (910003 inside
+    * seq 2 — the apply winner must come from the document-position `ord`
+    * tie-break, not just the sequence number), cross-sequence
+    * create-then-delete (910002), a delete of an existing node, tag keys
+    * where one prefixes another ("name"/"name:nl" — a sort-order trap),
+    * and XML/SQL-escape hazards (apostrophe + angle bracket).
     */
   lazy val oscChanges: Seq[(Long, Seq[OscDiff.Change])] = {
     val ns = osm._1.sortBy(_.id)
@@ -431,12 +434,15 @@ object Fixtures {
         OscDiff.Change(OscDiff.Create,
           nodes = Seq((910001L, 10.125, 20.25), (910002L, -5.5, 30.75)),
           relations = Seq((990L,
-            Map("name" -> "l'étang <est>", "boundary" -> "administrative"),
+            Map("name" -> "l'étang <est>", "name:nl" -> "de vijver",
+              "boundary" -> "administrative"),
             Seq((910001L, 0, "admin_centre"), (10010L, 1, "outer")))))),
       2L -> Seq(
         OscDiff.Change(OscDiff.Modify, nodes = Seq((910001L, 11.125, 21.25))),
         OscDiff.Change(OscDiff.Delete, nodes = Seq((910002L, 0.0, 0.0)),
-          relations = Seq((990L, Map.empty[String, String], Nil)))))
+          relations = Seq((990L, Map.empty[String, String], Nil))),
+        OscDiff.Change(OscDiff.Create, nodes = Seq((910003L, 7.25, -3.5))),
+        OscDiff.Change(OscDiff.Delete, nodes = Seq((910003L, 0.0, 0.0)))))
   }
 
   /** dpRects as a topology-ready feature table (objId, wkb, bbox). */

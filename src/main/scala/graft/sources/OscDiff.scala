@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, OutputStreamWriter}
+import java.io.{ByteArrayOutputStream, OutputStreamWriter}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions._
   * sequential element-by-element apply because upsert/remove are
   * idempotent on final state.
   *
-  * Parsing is JDK StAX (javax.xml.stream) — streaming, constant memory
-  * per task, no DOM.
+  * Parsing is JDK StAX (javax.xml.stream) over a stream opened straight
+  * off the FileSystem — no DOM, no whole-file buffer; one file's parsed
+  * rows are buffered (bounded by the MB-scale diff size).
   */
 object OscDiff {
 
@@ -36,9 +37,15 @@ object OscDiff {
 
   // -------------------------------------------------------------- writing
 
+  /** Attribute-value escape. Tab/LF/CR must become character references:
+    * XML 1.0 §3.3.3 attribute-value normalization rewrites literal
+    * whitespace control characters to spaces on PARSE, so leaving them
+    * raw would make the write→read round trip lossy.
+    */
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
+      .replace("\t", "&#9;").replace("\n", "&#10;").replace("\r", "&#13;")
 
   /** One changeset's content: per action, the entities it touches.
     * Deletes carry payloads too (the osc format includes them; apply
@@ -95,7 +102,15 @@ object OscDiff {
     val it = fs.listStatus(p).toSeq
     it.map(_.getPath)
       .filter(_.getName.endsWith(".osc.gz"))
-      .map(f => (f.getName.stripSuffix(".osc.gz").toLong, f.toString))
+      .map { f =>
+        val base = f.getName.stripSuffix(".osc.gz")
+        // a replication dir must hold ONLY sequence files — a stray
+        // non-numeric .osc.gz is malformed input, not something to skip
+        // (a silently skipped sequence would be silent data loss)
+        require(base.forall(_.isDigit) && base.nonEmpty,
+          s"non-sequence change file in replication dir: ${f.getName}")
+        (base.toLong, f.toString)
+      }
       .sortBy(_._1)
   }
 
@@ -109,9 +124,12 @@ object OscDiff {
                             tags: Map[String, String],
                             members: Seq[(Long, Int, String)])
 
+  /** Streams the gzipped XML straight off the FileSystem — no whole-file
+    * buffer, no 2 GB Int ceiling. The PARSED rows of one file are
+    * buffered (a replication diff is MBs; the row set is bounded by it).
+    */
   private def parseFile(seq: Long, path: String, kind: String): Iterator[Parsed] = {
-    val bytes = FsIO.readFullyAt(path, 0, FsIO.length(path).toInt)
-    val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
+    val in = new GZIPInputStream(FsIO.openStream(path))
     val f = javax.xml.stream.XMLInputFactory.newInstance()
     f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
     f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)

@@ -26,10 +26,13 @@ class OscDiffSpec extends SparkTestBase {
     assert(got(5) == ((1L, 7L, "delete", 100999L, 0.0, 0.0)))
     assert(got(6) == ((1L, 8L, "create", 910001L, 10.125, 20.25)))
     assert(got(7) == ((1L, 9L, "create", 910002L, -5.5, 30.75)))
-    // seq 2: modify 900001 (ord 1), delete 900002 (ord 2)
+    // seq 2: modify 910001 (ord 1), delete 910002 (ord 2; ord 3 is the
+    // relation delete), then same-file create (4) + delete (5) of 910003
     assert(got(8) == ((2L, 1L, "modify", 910001L, 11.125, 21.25)))
     assert(got(9) == ((2L, 2L, "delete", 910002L, 0.0, 0.0)))
-    assert(got.length == 10)
+    assert(got(10) == ((2L, 4L, "create", 910003L, 7.25, -3.5)))
+    assert(got(11) == ((2L, 5L, "delete", 910003L, 0.0, 0.0)))
+    assert(got.length == 12)
   }
 
   test("way and relation changes decode; XML escaping round-trips") {
@@ -43,6 +46,7 @@ class OscDiffSpec extends SparkTestBase {
     val (s1, _, a1, id1, tags1, members1) = rels(0)
     assert((s1, a1, id1) == ((1L, "create", 990L)))
     assert(tags1("name") == "l'étang <est>", "escaped tag value survives the XML round trip")
+    assert(tags1("name:nl") == "de vijver", "prefix-key tag pair decodes")
     assert(members1 == Seq((910001L, 0, "admin_centre"), (10010L, 1, "outer")))
     val (s2, _, a2, id2, tags2, members2) = rels(1)
     assert((s2, a2, id2, tags2, members2) == ((2L, "delete", 990L, Map.empty, Nil)))
@@ -65,8 +69,10 @@ class OscDiffSpec extends SparkTestBase {
     }
     assert(!applied.contains(100999L), "deleted existing node gone")
     assert(applied(910001L) == ((11.125, 21.25)), "seq-2 modify wins over seq-1 create")
-    assert(!applied.contains(910002L), "created-then-deleted node gone")
-    assert(applied.size == ns.length - 1 + 1) // -100999, +900001
+    assert(!applied.contains(910002L), "cross-sequence created-then-deleted node gone")
+    assert(!applied.contains(910003L),
+      "SAME-sequence create-then-delete: the later ord must win within one file")
+    assert(applied.size == ns.length - 1 + 1) // -100999, +910001; 910002/3 never land
   }
 
   test("missing sequence directory fails loudly") {

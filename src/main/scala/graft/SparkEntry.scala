@@ -2575,6 +2575,10 @@ object SparkEntry {
 
   /** SQL single-quote escape for fixture strings embedded in VALUES —
     * a fixture value like name=L'Aquila must not break the oracle parse.
+    * Backslashes stay literal ON PURPOSE: these strings are executed by
+    * DuckDB (standard SQL literals, '' is the only escape), never by
+    * Spark's non-ANSI parser — doubling backslashes here would corrupt
+    * any fixture value containing one.
     */
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 

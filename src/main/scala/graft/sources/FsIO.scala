@@ -16,7 +16,15 @@ private[sources] object FsIO {
   private lazy val conf = new Configuration()
 
   def open(path: String): (FileSystem, Path) = {
-    val p = new Path(path)
+    // plain filesystem paths go through File.toURI so URI-special
+    // characters (#, %, a colon inside a segment) survive — Hadoop's
+    // Path(String) constructor would parse "#..." as a fragment and
+    // open the wrong file; real URIs (scheme://) pass through untouched
+    // scheme:/... (Hadoop Path.toString renders file URIs with a single
+    // slash) and scheme://... both count as URIs; "batch:1/f" does not
+    val p =
+      if (path.matches("[a-zA-Z][a-zA-Z0-9+.-]*:/.*")) new Path(path)
+      else new Path(new java.io.File(path).toURI)
     val fs = p.getFileSystem(conf) match {
       // local files: bypass the ChecksumFileSystem wrapper — we write no
       // .crc sidecars, and its buffered positioned reads cost ~2× on the
@@ -33,9 +41,11 @@ private[sources] object FsIO {
     fs.open(p)
   }
 
-  def length(path: String): Long = {
+  def length(path: String): Long = status(path).getLen
+
+  def status(path: String): org.apache.hadoop.fs.FileStatus = {
     val (fs, p) = open(path)
-    fs.getFileStatus(p).getLen
+    fs.getFileStatus(p)
   }
 
   def readFullyAt(path: String, offset: Long, len: Int): Array[Byte] = {

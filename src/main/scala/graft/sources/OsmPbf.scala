@@ -97,7 +97,10 @@ object OsmPbf {
     def tag(): (Int, Int) = { val k = varint(); ((k >>> 3).toInt, (k & 7).toInt) }
     private def boundedLen(): Int = {
       val n = varint()
-      require(n >= 0 && pos + n <= end,
+      // n <= end - pos, NOT pos + n <= end: a hostile varint near
+      // Long.MaxValue overflows pos + n to negative and would pass the
+      // other form, yielding a negative Int length and a cursor rewind
+      require(n >= 0 && n <= end - pos,
         s"length $n at offset $pos overruns message end $end")
       n.toInt
     }
@@ -133,6 +136,8 @@ object OsmPbf {
       * segments.
       */
     def repeated(into: Seq[Long], wt: Int, zz: Boolean): Seq[Long] = wt match {
+      // accumulators are Vectors: `:+` per unpacked value must be O(1),
+      // a List would make an n-value unpacked field O(n²)
       case 2 => into ++ packedLongs(zz)
       case 0 => into :+ (if (zz) zigzag() else varint())
       case w => throw new IllegalArgumentException(s"repeated scalar field with wire type $w")
@@ -292,17 +297,19 @@ object OsmPbf {
         val hBytes = new Array[Byte](hLen)
         in.readFully(off + 4, hBytes, 0, hLen)
         val r = new Reader(hBytes, 0, hLen)
-        var typ = ""; var datasize = -1
+        var typ = ""; var datasize = -1L
         while (r.hasNext) r.tag() match {
           case (1, 2) => typ = new String(r.rawBytes(), UTF_8)
-          case (3, 0) => datasize = r.varint().toInt
+          // keep the FULL Long: .toInt here would truncate a >= 2^32
+          // value into the valid range and sail past the spec guard
+          case (3, 0) => datasize = r.varint()
           case (_, wt) => r.skip(wt)
         }
         require(datasize >= 0, s"BlobHeader without datasize at offset $off")
         // spec: compressed blob MUST be < 32 MiB
-        require(datasize < 32 * 1024 * 1024,
+        require(datasize < 32L * 1024 * 1024,
           s"blob of $datasize bytes at offset $off out of spec (must be < 32 MiB)")
-        out += BlobRange(typ, off + 4 + hLen, datasize)
+        out += BlobRange(typ, off + 4 + hLen, datasize.toInt)
         off += 4 + hLen + datasize
       }
       out.result()
@@ -338,11 +345,11 @@ object OsmPbf {
   private def inflateBlobBytes(bytes: Array[Byte]): Array[Byte] = {
     val r = new Reader(bytes, 0, bytes.length)
     var raw: Array[Byte] = null
-    var rawSize = -1
+    var rawSize = -1L
     var zlibData: Array[Byte] = null
     while (r.hasNext) r.tag() match {
       case (1, 2) => raw = r.rawBytes()
-      case (2, 0) => rawSize = r.varint().toInt
+      case (2, 0) => rawSize = r.varint() // full Long — see datasize note
       case (3, 2) => zlibData = r.rawBytes()
       case (_, wt) => r.skip(wt)
     }
@@ -350,19 +357,20 @@ object OsmPbf {
     else {
       require(zlibData != null, "blob with neither raw nor zlib_data")
       // spec: uncompressed blob MUST be < 32 MiB
-      require(rawSize >= 0 && rawSize < 32 * 1024 * 1024,
+      require(rawSize >= 0 && rawSize < 32L * 1024 * 1024,
         s"blob raw_size $rawSize out of spec (must be in [0, 32 MiB))")
       val inf = new Inflater()
       inf.setInput(zlibData)
-      val out = new Array[Byte](rawSize)
+      val out = new Array[Byte](rawSize.toInt)
       var done = 0
-      while (!inf.finished() && done < rawSize) {
-        val n = inf.inflate(out, done, rawSize - done)
+      val total = rawSize.toInt
+      while (!inf.finished() && done < total) {
+        val n = inf.inflate(out, done, total - done)
         require(n > 0 || inf.finished(), "truncated zlib blob")
         done += n
       }
       inf.end()
-      require(done == rawSize, s"blob raw_size $rawSize but inflated $done")
+      require(done == total, s"blob raw_size $rawSize but inflated $done")
       out
     }
   }
@@ -405,13 +413,16 @@ object OsmPbf {
     * entries (driver reads a handful of files per job).
     */
   private val rangesCache =
-    new java.util.LinkedHashMap[(String, Long), Seq[BlobRange]](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Long, Long), Seq[BlobRange]](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), Seq[BlobRange]]): Boolean = size() > 16
+          e: java.util.Map.Entry[(String, Long, Long), Seq[BlobRange]]): Boolean = size() > 16
     }
 
   private def dataRanges(path: String): Seq[BlobRange] = rangesCache.synchronized {
-    val key = (path, FsIO.length(path))
+    // keyed by length AND mtime: a same-size rewrite must re-index (and
+    // re-run the required_features check), not serve stale blob offsets
+    val st = FsIO.status(path)
+    val key = (path, st.getLen, st.getModificationTime)
     var v = rangesCache.get(key)
     if (v == null) {
       val ranges = blobIndex(path)
@@ -467,7 +478,7 @@ object OsmPbf {
     import spark.implicits._
     distribute[(Long, Double, Double)](spark, path) { payload =>
       eachGroup(payload) { (ctx, g) =>
-        var ids, lats, lons = Seq.empty[Long]
+        var ids, lats, lons: Seq[Long] = Vector.empty[Long]
         while (g.hasNext) g.tag() match {
           case (2, 2) =>
             val d = g.lenDelim()
@@ -503,7 +514,7 @@ object OsmPbf {
         while (g.hasNext) g.tag() match {
           case (3, 2) =>
             val w = g.lenDelim()
-            var id = 0L; var refs = Seq.empty[Long]
+            var id = 0L; var refs: Seq[Long] = Vector.empty[Long]
             while (w.hasNext) w.tag() match {
               case (1, 0) => id = w.varint()
               case (8, wt) if wt != 5 && wt != 1 => refs = w.repeated(refs, wt, zz = true)
@@ -530,8 +541,8 @@ object OsmPbf {
           case (4, 2) =>
             val w = g.lenDelim()
             var id = 0L
-            var keys, vals, roles, types = Seq.empty[Long]
-            var memids = Seq.empty[Long]
+            var keys, vals, roles, types: Seq[Long] = Vector.empty[Long]
+            var memids: Seq[Long] = Vector.empty[Long]
             while (w.hasNext) w.tag() match {
               case (1, 0) => id = w.varint()
               case (2, wt) if wt != 5 && wt != 1 => keys = w.repeated(keys, wt, zz = false)

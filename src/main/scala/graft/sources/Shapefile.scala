@@ -179,7 +179,13 @@ object Shapefile {
     val body = FsIO.readFullyAt(base + ".shx", 100, 8 * nRec)
     val bb = ByteBuffer.wrap(body); bb.order(ByteOrder.BIG_ENDIAN)
     val recs = (0 until nRec).map { i =>
-      RecordRange(i.toLong, bb.getInt(8 * i).toLong * 2, bb.getInt(8 * i + 4) * 2)
+      val contentWords = bb.getInt(8 * i + 4)
+      // Long widen + cap: a corrupt word count would otherwise overflow
+      // Int into a negative task-side allocation; 256 MiB is far above
+      // any real polygon record and fails loudly instead
+      require(contentWords >= 0 && contentWords.toLong * 2 <= 256L * 1024 * 1024,
+        s"record $i: content length ${contentWords.toLong * 2} bytes out of range")
+      RecordRange(i.toLong, bb.getInt(8 * i).toLong * 2, contentWords * 2)
     }
     (shapeType, recs)
   }
@@ -226,9 +232,21 @@ object Shapefile {
             require(shape == PolygonType, s"record ${r.idx}: unsupported shape type $shape")
             val numParts = b.getInt(8 + 36)
             val numPoints = b.getInt(8 + 40)
+            // one equality subsumes sign and range checks on both counts:
+            // negative or inflated values cannot reproduce the record's
+            // actual byte length
+            require(numParts >= 0 && numPoints >= 0 &&
+              r.contentBytes.toLong == 44L + 4L * numParts + 16L * numPoints,
+              s"record ${r.idx}: numParts=$numParts numPoints=$numPoints inconsistent " +
+                s"with content length ${r.contentBytes}")
             val partOff = 8 + 44
             val ptOff = partOff + 4 * numParts
             val starts = (0 until numParts).map(i => b.getInt(partOff + 4 * i))
+            starts.zipWithIndex.foreach { case (st, i) =>
+              require(st >= 0 && st <= numPoints &&
+                (i == 0 || st >= starts(i - 1)),
+                s"record ${r.idx}: part start $st out of order or range")
+            }
             val rings = (0 until numParts).map { i =>
               val end = if (i + 1 < numParts) starts(i + 1) else numPoints
               (starts(i) until end).map { j =>

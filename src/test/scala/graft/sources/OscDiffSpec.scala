@@ -75,6 +75,13 @@ class OscDiffSpec extends SparkTestBase {
     assert(applied.size == ns.length - 1 + 1) // -100999, +910001; 910002/3 never land
   }
 
+  test("stray non-sequence .osc.gz fails loudly by filename") {
+    val dir = writeFixture()
+    Files.write(java.nio.file.Paths.get(dir, "part-0.osc.gz"), Array[Byte](1, 2, 3))
+    val err = intercept[IllegalArgumentException](OscDiff.nodes(spark, dir))
+    assert(err.getMessage.contains("part-0.osc.gz"))
+  }
+
   test("missing sequence directory fails loudly") {
     val empty = Files.createTempDirectory("osc_empty").toString
     val err = intercept[IllegalArgumentException](OscDiff.nodes(spark, empty))

@@ -196,35 +196,38 @@ class OsmPbfSpec extends SparkTestBase {
     }
   }
 
+  // shared minimal wire-writer for hand-built test files — deliberately
+  // NOT OsmPbf's Wire class (an independent encoder is the point)
+  private def tvarint(out: DataOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+  private def tzig(n: Long): Long = (n << 1) ^ (n >> 63)
+  private def tlenDelim(out: DataOutputStream, field: Int, b: Array[Byte]): Unit = {
+    tvarint(out, (field << 3) | 2); tvarint(out, b.length.toLong); out.write(b)
+  }
+  private def tmsg(build: DataOutputStream => Unit): Array[Byte] = {
+    val m = new ByteArrayOutputStream(); val md = new DataOutputStream(m); build(md); m.toByteArray
+  }
+
   test("unpacked repeated fields decode identically (proto2 requires accepting both forms)") {
     // hand-build an uncompressed OSMData blob whose Way emits refs as
     // UNPACKED wire-type-0 entries (one tag per value) — legal proto2
     // that a packed-only parser silently drops
     val bos = new ByteArrayOutputStream(); val d = new DataOutputStream(bos)
-    def varint(out: DataOutputStream, v0: Long): Unit = {
-      var v = v0
-      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-      out.write(v.toInt)
-    }
-    def zig(n: Long): Long = (n << 1) ^ (n >> 63)
-    def lenDelim(out: DataOutputStream, field: Int, b: Array[Byte]): Unit = {
-      varint(out, (field << 3) | 2); varint(out, b.length.toLong); out.write(b)
-    }
-    def msg(build: DataOutputStream => Unit): Array[Byte] = {
-      val m = new ByteArrayOutputStream(); val md = new DataOutputStream(m); build(md); m.toByteArray
-    }
     val refs = Seq(100L, 40L, -25L) // delta-coded: decodes to 100, 140, 115
-    val way = msg { w =>
-      varint(w, (1 << 3) | 0); varint(w, 77L)                  // id
-      refs.foreach { r => varint(w, (8 << 3) | 0); varint(w, zig(r)) } // UNPACKED sint64
+    val way = tmsg { w =>
+      tvarint(w, (1 << 3) | 0); tvarint(w, 77L)                  // id
+      refs.foreach { r => tvarint(w, (8 << 3) | 0); tvarint(w, tzig(r)) } // UNPACKED sint64
     }
-    val group = msg { g => lenDelim(g, 3, way) }
-    val strtab = msg { st => lenDelim(st, 1, Array.empty[Byte]) }
-    val block = msg { b => lenDelim(b, 1, strtab); lenDelim(b, 2, group) }
-    val blob = msg { b => lenDelim(b, 1, block) } // raw, uncompressed
-    val header = msg { h =>
-      lenDelim(h, 1, "OSMData".getBytes(UTF_8))
-      varint(h, (3 << 3) | 0); varint(h, blob.length.toLong)
+    val group = tmsg { g => tlenDelim(g, 3, way) }
+    val strtab = tmsg { st => tlenDelim(st, 1, Array.empty[Byte]) }
+    val block = tmsg { b => tlenDelim(b, 1, strtab); tlenDelim(b, 2, group) }
+    val blob = tmsg { b => tlenDelim(b, 1, block) } // raw, uncompressed
+    val header = tmsg { h =>
+      tlenDelim(h, 1, "OSMData".getBytes(UTF_8))
+      tvarint(h, (3 << 3) | 0); tvarint(h, blob.length.toLong)
     }
     d.writeInt(header.length); d.write(header); d.write(blob)
     val path = Files.createTempDirectory("pbf_unpacked").resolve("u.osm.pbf")
@@ -237,24 +240,40 @@ class OsmPbfSpec extends SparkTestBase {
     // an OSMData blob whose inner length varint decodes to a huge value:
     // must raise the bounds error, not walk backwards forever
     val bos = new ByteArrayOutputStream(); val d = new DataOutputStream(bos)
-    def varint(out: DataOutputStream, v0: Long): Unit = {
-      var v = v0
-      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-      out.write(v.toInt)
+    val badBlob = tmsg { b =>
+      tvarint(b, (1 << 3) | 2)          // raw=1, length-delimited
+      tvarint(b, 4294967286L)           // length whose toInt is NEGATIVE
     }
-    def msg(build: DataOutputStream => Unit): Array[Byte] = {
-      val m = new ByteArrayOutputStream(); val md = new DataOutputStream(m); build(md); m.toByteArray
-    }
-    val badBlob = msg { b =>
-      varint(b, (1 << 3) | 2)          // raw=1, length-delimited
-      varint(b, 4294967286L)           // length whose toInt is NEGATIVE
-    }
-    val header = msg { h =>
-      varint(h, (1 << 3) | 2); varint(h, 7L); h.write("OSMData".getBytes(UTF_8))
-      varint(h, (3 << 3) | 0); varint(h, badBlob.length.toLong)
+    val header = tmsg { h =>
+      tvarint(h, (1 << 3) | 2); tvarint(h, 7L); h.write("OSMData".getBytes(UTF_8))
+      tvarint(h, (3 << 3) | 0); tvarint(h, badBlob.length.toLong)
     }
     d.writeInt(header.length); d.write(header); d.write(badBlob)
     val path = Files.createTempDirectory("pbf_badlen").resolve("b.osm.pbf")
+    Files.write(path, bos.toByteArray)
+    val err = intercept[Exception](OsmPbf.nodes(spark, path.toString).collect())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(err).exists(m => m != null && m.contains("overruns")),
+      s"expected bounds error, got: ${chain(err)}")
+  }
+
+  test("hostile near-Long.MaxValue length fails loudly, no Long-overflow rewind") {
+    // a 9-byte varint decoding to Long.MaxValue-9: `pos + n` overflows
+    // Long to negative, so only the subtraction form of the bound check
+    // (n <= end - pos) raises — the overflow form would rewind the
+    // cursor to the tag byte and loop the driver forever
+    val bos = new ByteArrayOutputStream(); val d = new DataOutputStream(bos)
+    val badBlob = tmsg { b =>
+      tvarint(b, (7 << 3) | 2)          // some skipped length-delimited field
+      tvarint(b, Long.MaxValue - 9)
+    }
+    val header = tmsg { h =>
+      tlenDelim(h, 1, "OSMData".getBytes(UTF_8))
+      tvarint(h, (3 << 3) | 0); tvarint(h, badBlob.length.toLong)
+    }
+    d.writeInt(header.length); d.write(header); d.write(badBlob)
+    val path = Files.createTempDirectory("pbf_hostile").resolve("h.osm.pbf")
     Files.write(path, bos.toByteArray)
     val err = intercept[Exception](OsmPbf.nodes(spark, path.toString).collect())
     def chain(t: Throwable): Seq[String] =

@@ -2510,12 +2510,27 @@ object SparkEntry {
     Fixtures.osm._4.map(_.rings) ++
       Fixtures.dpRects.map { case (_, ring) => Seq(ring: Seq[(Double, Double)]) }
 
+  /** FNV-1a over a deterministic rendering of IN-CODE fixture data —
+    * appended to scratch keys so a fixture CODE change invalidates the
+    * DONE-gated scratch: the sfDir fingerprint only covers the parquet
+    * inputs, and a stale scratch would make an engine-side oracle
+    * mismatch look like a decode bug.
+    */
+  private def contentHash(s: String): String = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    f"$h%016x"
+  }
+
   /** DONE-gated scratch dir holding the real .shp/.shx pairs the
     * q_shp_* queries read: `water` (exactly the fixture water records)
-    * and `decode` (shpDecodeRecords). Built once per fixture fingerprint.
+    * and `decode` (shpDecodeRecords). Built once per (fixture
+    * fingerprint, fixture-code content hash).
     */
   private def shpScratch(sfDir: String): String = {
-    val root = scratchRoot("shp", sfDir)
+    val root = scratchRoot("shp_" + contentHash(
+      (Fixtures.osm._4.map(_.rings), shpDecodeRecords).toString), sfDir)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "DONE")))
       buildScratch(root) { work =>
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
@@ -2530,7 +2545,10 @@ object SparkEntry {
     * genuinely has many zlib blobs for the distributed read to fan over.
     */
   private def pbfScratch(sfDir: String): String = {
-    val root = scratchRoot("pbf", sfDir)
+    val root = scratchRoot("pbf_" + contentHash({
+      val (ns, ws, rs, _) = Fixtures.osm
+      (ns, ws, rs).toString
+    }), sfDir)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "DONE")))
       buildScratch(root) { work =>
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))
@@ -2609,7 +2627,7 @@ object SparkEntry {
     * files ([[Fixtures.oscChanges]]).
     */
   private def oscScratch(sfDir: String): String = {
-    val root = scratchRoot("osc", sfDir)
+    val root = scratchRoot("osc_" + contentHash(Fixtures.oscChanges.toString), sfDir)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "DONE")))
       buildScratch(root) { work =>
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(work))

@@ -53,4 +53,32 @@ private[sources] object FsIO {
     try { val buf = new Array[Byte](len); in.readFully(offset, buf, 0, len); buf }
     finally in.close()
   }
+
+  /** The task-side stream lifecycle both format readers need, in ONE
+    * place: a single lazily-opened FSDataInputStream per task, closed
+    * BOTH when the output iterator is drained and at task completion —
+    * the listener covers early abandonment (limit/take) and exceptions
+    * mid-partition, where a drain-time close alone would leak a
+    * descriptor per task attempt.
+    */
+  def perTaskStream[A, T](path: String, it: Iterator[A])(
+      f: (FSDataInputStream, A) => IterableOnce[T]): Iterator[T] = {
+    var in: FSDataInputStream = null
+    def stream(): FSDataInputStream = {
+      if (in == null) in = openStream(path)
+      in
+    }
+    def closeNow(): Unit = if (in != null) { in.close(); in = null }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeNow()))
+    val out = it.flatMap(a => f(stream(), a))
+    new Iterator[T] {
+      def hasNext: Boolean = {
+        val h = out.hasNext
+        if (!h) closeNow()
+        h
+      }
+      def next(): T = out.next()
+    }
+  }
 }

@@ -130,6 +130,11 @@ object OscDiff {
     */
   private def parseFile(seq: Long, path: String, kind: String): Iterator[Parsed] = {
     val in = new GZIPInputStream(FsIO.openStream(path))
+    try parseStream(seq, in, kind)
+    finally in.close() // also on parse errors — no descriptor per failed attempt
+  }
+
+  private def parseStream(seq: Long, in: java.io.InputStream, kind: String): Iterator[Parsed] = {
     val f = javax.xml.stream.XMLInputFactory.newInstance()
     f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
     f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
@@ -184,7 +189,7 @@ object OscDiff {
         case _ => ()
       }
     }
-    r.close(); in.close()
+    r.close()
     out.result().iterator
   }
 

@@ -441,29 +441,13 @@ object OsmPbf {
     val parts = math.min(spark.sparkContext.defaultParallelism, math.max(1, ranges.length))
     spark.createDataset(spark.sparkContext.parallelize(ranges, parts)
       .mapPartitions { it =>
-        // one Hadoop FS handle per task, positioned read per blob (the
-        // Shapefile reader's pattern): blobs stream, never accumulate.
-        // The task-completion listener closes the stream even when the
-        // iterator is abandoned early (limit/take) or a decode throws —
-        // the drain-time close alone would leak a descriptor per task.
-        var in: org.apache.hadoop.fs.FSDataInputStream = null
-        Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit] { _ =>
-            if (in != null) { in.close(); in = null }
-          })
-        val out = it.flatMap { b =>
-          if (in == null) in = FsIO.openStream(path)
+        // one Hadoop FS handle per task, positioned read per blob; the
+        // shared FsIO.perTaskStream closes it on drain AND at task
+        // completion (early abandonment / decode exceptions)
+        FsIO.perTaskStream(path, it) { (in, b) =>
           val buf = new Array[Byte](b.size)
           in.readFully(b.offset, buf, 0, b.size)
           decode(inflateBlobBytes(buf))
-        }
-        new Iterator[T] {
-          def hasNext: Boolean = {
-            val h = out.hasNext
-            if (!h && in != null) { in.close(); in = null }
-            h
-          }
-          def next(): T = out.next()
         }
       })
   }

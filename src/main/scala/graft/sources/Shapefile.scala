@@ -194,76 +194,97 @@ object Shapefile {
     * (go-shp's `n`) and rings the record's raw parts, points verbatim.
     * Null records are skipped; non-polygon shape types fail loudly.
     */
-  def read(spark: SparkSession, base: String, minPartitions: Int = 0): DataFrame = {
+  /** A contiguous run of records served by ONE positioned read. */
+  private[sources] case class Batch(offset: Long, bytes: Int, recs: Seq[RecordRange])
+
+  /** Coalesce the ordered record ranges into contiguous batches of at
+    * most `maxBytes`: on an object store every positioned read is a
+    * ranged GET, and polygon records are often ~100 bytes — one read per
+    * record would mean 10⁶⁺ round trips over a planet water layer. A
+    * batch closes at a gap (records not abutting) or at the size cap, so
+    * task memory stays bounded by `maxBytes` regardless of layout.
+    */
+  private[sources] def coalesce(recs: Seq[RecordRange], maxBytes: Int): Seq[Batch] = {
+    val out = Seq.newBuilder[Batch]
+    var cur = List.empty[RecordRange]
+    var curBytes = 0L
+    def flush(): Unit = if (cur.nonEmpty) {
+      val rs = cur.reverse
+      out += Batch(rs.head.offset, curBytes.toInt, rs)
+      cur = Nil; curBytes = 0L
+    }
+    recs.foreach { r =>
+      val len = 8L + r.contentBytes
+      val contiguous = cur.nonEmpty && cur.head.offset + 8 + cur.head.contentBytes == r.offset
+      if (cur.nonEmpty && (!contiguous || curBytes + len > maxBytes)) flush()
+      cur = r :: cur
+      curBytes += len
+    }
+    flush()
+    out.result()
+  }
+
+  def read(spark: SparkSession, base: String, minPartitions: Int = 0,
+           batchBytes: Int = 8 * 1024 * 1024): DataFrame = {
     import spark.implicits._
     val (shapeType, recs) = index(base)
     require(shapeType == PolygonType,
       s"unsupported shapefile shape type $shapeType (only Polygon=5)")
+    val batches = coalesce(recs, math.max(batchBytes, 1))
     val parts = if (minPartitions > 0) minPartitions
-                else math.min(spark.sparkContext.defaultParallelism, math.max(1, recs.length))
-    spark.sparkContext.parallelize(recs, parts)
+                else math.min(spark.sparkContext.defaultParallelism, math.max(1, batches.length))
+    spark.sparkContext.parallelize(batches, parts)
       .mapPartitions { it =>
-        // one Hadoop FS handle per task, positioned read per record —
-        // parquet-row-group-style range reads on ANY FileSystem (file:,
-        // hdfs:, s3a:); records stream, never accumulate. Completion
-        // listener closes the handle even on early abandonment
-        // (limit/take) or a parse exception mid-partition.
-        var fin: org.apache.hadoop.fs.FSDataInputStream = null
-        Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit] { _ =>
-            if (fin != null) { fin.close(); fin = null }
-          })
-        def file(): org.apache.hadoop.fs.FSDataInputStream = {
-          if (fin == null) fin = FsIO.openStream(base + ".shp")
-          fin
-        }
-        val out = it.flatMap { r =>
-          val buf = new Array[Byte](8 + r.contentBytes)
-          file().readFully(r.offset, buf, 0, buf.length)
-          val b = ByteBuffer.wrap(buf)
-          b.order(ByteOrder.BIG_ENDIAN)
-          val recNo = b.getInt(0)
-          require(recNo == r.idx + 1, s"record number $recNo at index ${r.idx} (corrupt .shx?)")
-          require(b.getInt(4) * 2 == r.contentBytes, s"record ${r.idx}: .shx/.shp length mismatch")
-          b.order(ByteOrder.LITTLE_ENDIAN)
-          val shape = b.getInt(8)
-          if (shape == NullType) Iterator.empty
-          else {
-            require(shape == PolygonType, s"record ${r.idx}: unsupported shape type $shape")
-            val numParts = b.getInt(8 + 36)
-            val numPoints = b.getInt(8 + 40)
-            // one equality subsumes sign and range checks on both counts:
-            // negative or inflated values cannot reproduce the record's
-            // actual byte length
-            require(numParts >= 0 && numPoints >= 0 &&
-              r.contentBytes.toLong == 44L + 4L * numParts + 16L * numPoints,
-              s"record ${r.idx}: numParts=$numParts numPoints=$numPoints inconsistent " +
-                s"with content length ${r.contentBytes}")
-            val partOff = 8 + 44
-            val ptOff = partOff + 4 * numParts
-            val starts = (0 until numParts).map(i => b.getInt(partOff + 4 * i))
-            starts.zipWithIndex.foreach { case (st, i) =>
-              require(st >= 0 && st <= numPoints &&
-                (i == 0 || st >= starts(i - 1)),
-                s"record ${r.idx}: part start $st out of order or range")
+        FsIO.perTaskStream(base + ".shp", it) { (fin, batch) =>
+          val buf = new Array[Byte](batch.bytes)
+          fin.readFully(batch.offset, buf, 0, batch.bytes)
+          batch.recs.iterator.flatMap { r =>
+            val off = (r.offset - batch.offset).toInt
+            val b = ByteBuffer.wrap(buf, off, 8 + r.contentBytes).slice()
+            b.order(ByteOrder.BIG_ENDIAN)
+            val recNo = b.getInt(0)
+            require(recNo == r.idx + 1, s"record number $recNo at index ${r.idx} (corrupt .shx?)")
+            // compare as Longs: an Int-wrapping corrupt word count must
+            // not slip past by overflowing back onto the expected value
+            require(b.getInt(4).toLong * 2 == r.contentBytes.toLong,
+              s"record ${r.idx}: .shx/.shp length mismatch")
+            b.order(ByteOrder.LITTLE_ENDIAN)
+            val shape = b.getInt(8)
+            if (shape == NullType) Iterator.empty
+            else {
+              require(shape == PolygonType, s"record ${r.idx}: unsupported shape type $shape")
+              val numParts = b.getInt(8 + 36)
+              val numPoints = b.getInt(8 + 40)
+              // one equality subsumes sign and range checks on both counts:
+              // negative or inflated values cannot reproduce the record's
+              // actual byte length
+              require(numParts >= 0 && numPoints >= 0 &&
+                r.contentBytes.toLong == 44L + 4L * numParts + 16L * numPoints,
+                s"record ${r.idx}: numParts=$numParts numPoints=$numPoints inconsistent " +
+                  s"with content length ${r.contentBytes}")
+              // every point must belong to a ring: a nonzero first start
+              // or points without parts would SILENTLY drop data
+              require(numPoints == 0 || numParts > 0,
+                s"record ${r.idx}: $numPoints points but no parts")
+              val partOff = 8 + 44
+              val ptOff = partOff + 4 * numParts
+              val starts = (0 until numParts).map(i => b.getInt(partOff + 4 * i))
+              starts.zipWithIndex.foreach { case (st, i) =>
+                require(st >= 0 && st <= numPoints &&
+                  (i == 0 || st >= starts(i - 1)),
+                  s"record ${r.idx}: part start $st out of order or range")
+              }
+              require(starts.headOption.forall(_ == 0),
+                s"record ${r.idx}: first part starts at ${starts.head}, dropping points")
+              val rings = (0 until numParts).map { i =>
+                val end = if (i + 1 < numParts) starts(i + 1) else numPoints
+                (starts(i) until end).map { j =>
+                  (b.getDouble(ptOff + 16 * j), b.getDouble(ptOff + 16 * j + 8))
+                }: Seq[(Double, Double)]
+              }
+              Iterator.single((r.idx, rings: Seq[Seq[(Double, Double)]]))
             }
-            val rings = (0 until numParts).map { i =>
-              val end = if (i + 1 < numParts) starts(i + 1) else numPoints
-              (starts(i) until end).map { j =>
-                (b.getDouble(ptOff + 16 * j), b.getDouble(ptOff + 16 * j + 8))
-              }: Seq[(Double, Double)]
-            }
-            Iterator.single((r.idx, rings: Seq[Seq[(Double, Double)]]))
           }
-        }
-        // close the handle after the last record of the partition
-        new Iterator[(Long, Seq[Seq[(Double, Double)]])] {
-          def hasNext: Boolean = {
-            val h = out.hasNext
-            if (!h && fin != null) { fin.close(); fin = null }
-            h
-          }
-          def next(): (Long, Seq[Seq[(Double, Double)]]) = out.next()
         }
       }
       .toDF("id", "rings")

@@ -26,7 +26,10 @@ object IvfRecallSweep {
     try {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
       val n = emb.count()
-      val nCentroids = math.max(1, math.sqrt(n.toDouble).toInt)
+      // mirror Similarity.ivfIndex's default EXACTLY (max(16, √n)) — the
+      // final sweep row must probe every centroid the index really has,
+      // or its "full probe" recall is not the exhaustive bound it claims
+      val nCentroids = math.max(16, math.sqrt(n.toDouble).toInt)
       val queries = 0L until 50L
       val brute = Similarity.bruteForceTopK(emb, queries, k)
         .select("query_id", "vec_id")

@@ -126,25 +126,13 @@ class OsmPbfSpec extends SparkTestBase {
   test("unknown required feature fails loudly; raw (uncompressed) blobs read fine") {
     val dir = Files.createTempDirectory("pbf_bad")
     // hand-build: OSMHeader requiring an unsupported feature
-    def wire(build: DataOutputStream => Unit): Array[Byte] = {
-      val bos = new ByteArrayOutputStream(); val d = new DataOutputStream(bos)
-      build(d); bos.toByteArray
+    val headerBlock = tmsg { d =>
+      tlenDelim(d, 4, "HistoricalInformation".getBytes(UTF_8))
     }
-    def varint(out: DataOutputStream, v0: Long): Unit = {
-      var v = v0
-      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-      out.write(v.toInt)
-    }
-    def lenDelim(out: DataOutputStream, field: Int, b: Array[Byte]): Unit = {
-      varint(out, (field << 3) | 2); varint(out, b.length.toLong); out.write(b)
-    }
-    val headerBlock = wire { d =>
-      lenDelim(d, 4, "HistoricalInformation".getBytes(UTF_8))
-    }
-    val blobBody = wire { d => lenDelim(d, 1, headerBlock) } // raw=1, uncompressed
-    val blobHeader = wire { d =>
-      lenDelim(d, 1, "OSMHeader".getBytes(UTF_8))
-      varint(d, (3 << 3) | 0); varint(d, blobBody.length.toLong)
+    val blobBody = tmsg { d => tlenDelim(d, 1, headerBlock) } // raw=1, uncompressed
+    val blobHeader = tmsg { d =>
+      tlenDelim(d, 1, "OSMHeader".getBytes(UTF_8))
+      tvarint(d, (3 << 3) | 0); tvarint(d, blobBody.length.toLong)
     }
     val bad = dir.resolve("bad.osm.pbf").toString
     val f = new DataOutputStream(new FileOutputStream(bad))
@@ -153,11 +141,11 @@ class OsmPbfSpec extends SparkTestBase {
     assert(err.getMessage.contains("HistoricalInformation"))
 
     // same file with a SUPPORTED feature: raw-blob path parses, zero nodes
-    val okHeader = wire { d => lenDelim(d, 4, "DenseNodes".getBytes(UTF_8)) }
-    val okBody = wire { d => lenDelim(d, 1, okHeader) }
-    val okBlobHeader = wire { d =>
-      lenDelim(d, 1, "OSMHeader".getBytes(UTF_8))
-      varint(d, (3 << 3) | 0); varint(d, okBody.length.toLong)
+    val okHeader = tmsg { d => tlenDelim(d, 4, "DenseNodes".getBytes(UTF_8)) }
+    val okBody = tmsg { d => tlenDelim(d, 1, okHeader) }
+    val okBlobHeader = tmsg { d =>
+      tlenDelim(d, 1, "OSMHeader".getBytes(UTF_8))
+      tvarint(d, (3 << 3) | 0); tvarint(d, okBody.length.toLong)
     }
     val ok = dir.resolve("ok.osm.pbf").toString
     val g = new DataOutputStream(new FileOutputStream(ok))

@@ -506,6 +506,31 @@ object SparkEntry {
       v
     }
 
+  /** Session-memoized clip-stage topology: the rectilinear clip fixture
+    * through the REAL overlay path (clipWater → topology, both at
+    * simplify/quantize 0 so every output coordinate is an overlay
+    * product) — the subject of q_topo_clip_rect's interval-subtraction
+    * replay. With this oracled, no topology stage is golden-only.
+    */
+  private val clipTopoCache = new java.util.WeakHashMap[SparkSession, operators.TopoPipeline.Topology]()
+
+  private def clipTopo(spark: SparkSession): operators.TopoPipeline.Topology =
+    clipTopoCache.synchronized {
+      var v = clipTopoCache.get(spark)
+      if (v == null) {
+        val clipped = operators.TopoPipeline.clipWater(
+          Fixtures.clipRectFeaturesDf(spark), Fixtures.clipRectWaterDf(spark),
+          simplifyDigits = 0)
+        val t0 = operators.TopoPipeline.topology(clipped, simplifyDigits = 0, quantize = 0)
+        v = t0.copy(arcs = t0.arcs.localCheckpoint(), uses = t0.uses.localCheckpoint(),
+          caches = Nil)
+        t0.release()
+        evictOthers(clipTopoCache, spark)(_.release())
+        clipTopoCache.put(spark, v)
+      }
+      v
+    }
+
   /** Jaccard pairs + near-dup clustering memoized per (session, sfDir) —
     * q_jaccard_pairs, q_dedup_clusters and q_dedup_canonical share one
     * pair computation and one clustering run (session-granularity reuse,
@@ -899,6 +924,26 @@ object SparkEntry {
           }
           .toDF("arcId", "n_q", "deltas")
       }),
+      // P6/P7 in isolation over the rectilinear clip fixture: the REAL
+      // JTS overlay path (prepWater buffer(0) → bbox prefilter →
+      // prepared-intersects → sequential difference) → raw topology;
+      // every arc coordinate is an overlay product, and clipRectOracle
+      // recomputes all of them by pure interval subtraction — the last
+      // previously-golden-only stage now has an independent oracle
+      "q_topo_clip_rect" -> ((s, _) => {
+        import s.implicits._
+        val t = clipTopo(s)
+        val ser = t.arcs.select(col("arcId"), col("pts"))
+          .as[(Long, Seq[(Double, Double)])]
+          .map { case (id, pts) =>
+            (id, pts.map { case (x, y) => s"$x:$y" }.mkString(";"), pts.length.toLong)
+          }.toDF("arcId", "pts", "n_pts")
+        val useAgg = t.uses.groupBy("arcId")
+          .agg(count(lit(1)).as("n_uses"),
+            concat_ws(",", sort_array(collect_list(col("objId"))).cast("array<string>")).as("objs"))
+        ser.join(useAgg, Seq("arcId"))
+          .select("arcId", "pts", "n_pts", "n_uses", "objs")
+      }),
       "q_topo_objects" -> ((s, _) => {
         val res = topoCountries(s)
         res.topo.objects.select(col("objId"), col("nPoints"),
@@ -1130,6 +1175,11 @@ object SparkEntry {
     // dpTopoOracle) — with this green only the JTS overlay clip remains
     // without an independent oracle
     "q_topo_arcs_dp" -> dpTopoOracle,
+    // P6/P7 overlay clip replayed by closed-form interval subtraction
+    // over the rectilinear fixture (see clipRectOracle) — with this
+    // green EVERY topology stage has an independent oracle; only the
+    // curved-fixture q_topo_arcs stays golden-pinned
+    "q_topo_clip_rect" -> clipRectOracle,
     // streaming PIP must be row-identical to the batch join — same oracle
     "q_stream_pip" ->
       s"""$pipOracleCtes
@@ -1773,11 +1823,22 @@ object SparkEntry {
       ring.dropRight(1).zipWithIndex.map { case ((x, y), i) => s"($objId, $i, ${d(x)}, ${d(y)})" }
     }.mkString(",\n    ")
     val maxN = fix.map(_._2.length).max // closed length ≥ open+1
-    s"""WITH verts AS (SELECT CAST(obj AS BIGINT) AS obj, i,
-       |                      CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
-       |               FROM (VALUES
-       |    $rows
-       |  ) AS t(obj, i, x, y)),
+    topoCtesOverVerts(
+      s"""WITH verts AS (SELECT CAST(obj AS BIGINT) AS obj, i,
+         |                      CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+         |               FROM (VALUES
+         |    $rows
+         |  ) AS t(obj, i, x, y))""".stripMargin, maxN)
+  }
+
+  /** The junction-detect → cut → canonicalize CTE chain over ANY prefix
+    * ending in a `verts(obj, i, x, y)` CTE (one ring per obj, OPEN
+    * vertices in ring order) — the literal-fixture oracles pass VALUES,
+    * the clip oracle passes a verts table computed in SQL from interval
+    * subtraction. `maxN` bounds the closed ring length.
+    */
+  private def topoCtesOverVerts(vertsPrefix: String, maxN: Int): String = {
+    s"""$vertsPrefix,
        |ks AS (SELECT unnest(generate_series(0, $maxN)) AS i),
        |nn AS (SELECT obj, count(*) AS n FROM verts GROUP BY obj),
        |pk AS (SELECT obj, i, x, y,
@@ -1822,6 +1883,7 @@ object SparkEntry {
        |         min(x) AS minx, min(y) AS miny, max(x) AS maxx, max(y) AS maxy
        |  FROM segpts GROUP BY obj, seg),
        |keyed AS (SELECT obj, seg, md5(least(fwd, rev)) AS key, (rev < fwd) AS rv,
+       |                 least(fwd, rev) AS ser,
        |                 n_pts, minx, miny, maxx, maxy FROM canon)""".stripMargin
   }
 
@@ -1992,6 +2054,94 @@ object SparkEntry {
        |FROM kept k
        |JOIN cpts c ON c.key = k.key AND c.cpos = k.i
        |JOIN ids d ON d.key = k.key""".stripMargin
+  }
+
+  /** Independent overlay-clip oracle (q_topo_clip_rect) — retires the
+    * last non-oracled topology stage. The engine runs the REAL P6/P7
+    * path (prepWater buffer(0) → bbox prefilter → prepared-intersects →
+    * sequential JTS `difference` in water-id order,
+    * geometries.go:207-267) over [[Fixtures.clipRectFeatures]] ×
+    * [[Fixtures.clipRectWater]] and feeds the clipped geometry into the
+    * raw topology build; DuckDB recomputes the SAME clipped rings with
+    * no geometry engine at all:
+    *
+    *  - every water strip overlapping a feature spans the feature's full
+    *    x-range (fixture invariant), so each feature's clip is exactly
+    *    1-D interval subtraction on y: candidate strips clamp to the
+    *    feature's y-range, zero-length leftovers drop, and the remaining
+    *    horizontal bands between strips are the clipped rectangles —
+    *    order-independent, which the engine's wid-ordered sequential
+    *    fold then matches by construction;
+    *  - on this all-integer rectilinear input JTS emits each band as a
+    *    clean 5-point rectangle ring with exact integer coordinates (no
+    *    retained noding vertices — empirically pinned by the fixture
+    *    design and this oracle's hash compare), so the SQL can generate
+    *    the 4 open corner vertices per band directly;
+    *  - the generated rings then flow through the SAME topology CTE
+    *    chain as q_topo_arcs_raw (junction detect → cut → canonical
+    *    min(fwd,rev) serialization → md5-rank arcIds); features 1|2
+    *    share the edge x=10 under one global strip, so the replay also
+    *    pins junction-cut + shared-arc dedup over overlay OUTPUT;
+    *  - the compare is total: per arc the full canonical coordinate
+    *    serialization (every double the overlay produced), point count,
+    *    use count, and the sorted list of using feature ids.
+    */
+  private def clipRectOracle: String = {
+    def d(v: Double): String = "'" + java.lang.Double.toString(v) + "'"
+    val featRows = sources.Fixtures.clipRectFeatures.map { case (o, x0, y0, x1, y1) =>
+      s"($o, ${d(x0)}, ${d(y0)}, ${d(x1)}, ${d(y1)})"
+    }.mkString(",\n    ")
+    val watRows = sources.Fixtures.clipRectWater.map { case (w, x0, y0, x1, y1) =>
+      s"($w, ${d(x0)}, ${d(y0)}, ${d(x1)}, ${d(y1)})"
+    }.mkString(",\n    ")
+    val prefix =
+      s"""WITH featv AS (SELECT CAST(obj AS BIGINT) AS obj,
+         |                      CAST(fx0 AS DOUBLE) AS fx0, CAST(fy0 AS DOUBLE) AS fy0,
+         |                      CAST(fx1 AS DOUBLE) AS fx1, CAST(fy1 AS DOUBLE) AS fy1
+         |               FROM (VALUES
+         |    $featRows
+         |  ) AS t(obj, fx0, fy0, fx1, fy1)),
+         |watv AS (SELECT CAST(wid AS BIGINT) AS wid,
+         |                CAST(wx0 AS DOUBLE) AS wx0, CAST(wy0 AS DOUBLE) AS wy0,
+         |                CAST(wx1 AS DOUBLE) AS wx1, CAST(wy1 AS DOUBLE) AS wy1
+         |         FROM (VALUES
+         |    $watRows
+         |  ) AS t(wid, wx0, wy0, wx1, wy1)),
+         |ivals AS (
+         |  SELECT f.obj, greatest(w.wy0, f.fy0) AS lo, least(w.wy1, f.fy1) AS hi
+         |  FROM featv f JOIN watv w
+         |    ON f.fx0 <= w.wx1 AND f.fx1 >= w.wx0 AND f.fy0 <= w.wy1 AND f.fy1 >= w.wy0
+         |  WHERE least(w.wy1, f.fy1) > greatest(w.wy0, f.fy0)),
+         |pieces AS (
+         |  SELECT f.obj, f.fx0, f.fx1, f.fy0, f.fy1, i.lo, i.hi,
+         |         lag(i.hi) OVER (PARTITION BY f.obj ORDER BY i.lo) AS prev_hi
+         |  FROM featv f JOIN ivals i ON i.obj = f.obj),
+         |bands_all AS (
+         |  SELECT obj, fx0, fx1, coalesce(prev_hi, fy0) AS y0, lo AS y1 FROM pieces
+         |  UNION ALL
+         |  SELECT obj, any_value(fx0), any_value(fx1), max(hi), any_value(fy1)
+         |  FROM pieces GROUP BY obj
+         |  UNION ALL
+         |  SELECT f.obj, f.fx0, f.fx1, f.fy0, f.fy1 FROM featv f
+         |  WHERE NOT EXISTS (SELECT 1 FROM ivals i WHERE i.obj = f.obj)),
+         |bands AS (
+         |  SELECT obj, fx0, fx1, y0, y1,
+         |         row_number() OVER (PARTITION BY obj ORDER BY y0) - 1 AS band
+         |  FROM bands_all WHERE y1 > y0),
+         |verts AS (
+         |  SELECT b.obj * 100 + b.band AS obj, u.i,
+         |         CASE WHEN u.i IN (0, 3) THEN b.fx0 ELSE b.fx1 END AS x,
+         |         CASE WHEN u.i IN (0, 1) THEN b.y0 ELSE b.y1 END AS y
+         |  FROM bands b, (SELECT unnest(generate_series(0, 3)) AS i) u)""".stripMargin
+    s"""${topoCtesOverVerts(prefix, maxN = 5)},
+       |arcs AS (
+       |  SELECT key, any_value(ser) AS pts, any_value(n_pts) AS n_pts,
+       |         count(*) AS n_uses,
+       |         string_agg(CAST(obj // 100 AS VARCHAR), ',' ORDER BY obj // 100) AS objs
+       |  FROM keyed GROUP BY key)
+       |SELECT CAST(row_number() OVER (ORDER BY key) - 1 AS BIGINT) AS arcId,
+       |       pts, CAST(n_pts AS BIGINT) AS n_pts, CAST(n_uses AS BIGINT) AS n_uses, objs
+       |FROM arcs""".stripMargin
   }
 
   /** Independent IVF-ANN oracle (q_ann_ivf): the ENTIRE

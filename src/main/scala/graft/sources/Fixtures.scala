@@ -469,6 +469,69 @@ object Fixtures {
       .select("objId", "wkb", "bbox")
   }
 
+  /** Rectilinear clip fixture (q_topo_clip_rect): axis-aligned feature
+    * rectangles × full-width axis-aligned water strips on an integer
+    * grid. On these inputs JTS `difference` produces exactly the
+    * closed-form horizontal-band decomposition with clean 5-point
+    * rectangle rings (no retained noding vertices — verified
+    * empirically, including the touching-strip and sequential-cut
+    * cases), so the overlay-clip stage — the one topology stage no
+    * second engine can replay on curved input — becomes fully
+    * DuckDB-replayable as 1-D interval subtraction (reference clip
+    * semantics: /root/reference/osmtopo/geometries.go:207-267).
+    *
+    * Cases: A(1)|B(2) share the edge x=10 under one GLOBAL strip, so
+    * the clipped rings exercise junction-cut + shared-arc dedup on
+    * overlay OUTPUT; C(3) has touching strips plus a strip crossing its
+    * top edge; D(4) is untouched by any strip; E(5) is fully erased
+    * (empty-geometry guard); F(6) alternates five interior strips.
+    *
+    * Invariant the oracle relies on: every strip overlapping a
+    * feature's bbox spans that feature's FULL x-range (so each clip is
+    * a pure y-interval subtraction), and strips never overlap each
+    * other (touching is fine — the subtraction is order-independent).
+    */
+  lazy val clipRectFeatures: Seq[(Long, Double, Double, Double, Double)] = Seq(
+    (1L, 0, 0, 10, 10),
+    (2L, 10, 0, 20, 10),
+    (3L, 100, 0, 110, 20),
+    (4L, 200, 0, 210, 10),
+    (5L, 300, 0, 310, 10),
+    (6L, 400, 0, 410, 30))
+
+  /** (wid, x0, y0, x1, y1) water strips for [[clipRectFeatures]]. */
+  lazy val clipRectWater: Seq[(Long, Double, Double, Double, Double)] = Seq(
+    (1L, -1, 4, 21, 6), // global across A+B
+    (2L, 99, 3, 111, 5), // C
+    (3L, 99, 5, 111, 8), // C, touches wid 2 at y=5
+    (4L, 99, 18, 111, 25), // C, crosses the top edge
+    (5L, 299, -1, 311, 11), // E, full cover -> empty feature
+    (6L, 399, 2, 411, 4), // F
+    (7L, 399, 8, 411, 10),
+    (8L, 399, 14, 411, 16),
+    (9L, 399, 20, 411, 22),
+    (10L, 399, 26, 411, 28))
+
+  /** clipRectFeatures as a clip-ready feature table (objId, wkb, bbox). */
+  def clipRectFeaturesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    clipRectFeatures.map { case (id, x0, y0, x1, y1) =>
+      val ring = IndexedSeq((x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0))
+      (id, graft.geom.Jts.toWkb(graft.geom.Jts.polygon(ring)), x0, y0, x1, y1)
+    }.toDF("objId", "wkb", "minx", "miny", "maxx", "maxy")
+      .withColumn("bbox", struct(col("minx"), col("miny"), col("maxx"), col("maxy")))
+      .select("objId", "wkb", "bbox")
+  }
+
+  /** clipRectWater as a water table (id, wkb) for TopoPipeline.clipWater. */
+  def clipRectWaterDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    clipRectWater.map { case (id, x0, y0, x1, y1) =>
+      val ring = IndexedSeq((x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0))
+      (id, graft.geom.Jts.toWkb(graft.geom.Jts.polygon(ring)))
+    }.toDF("id", "wkb")
+  }
+
   def waterDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
     osm._4.map(w => (w.id, w.rings.map(_.map(p => (p._1, p._2)))))

@@ -175,6 +175,40 @@ class TopoPipelineSpec extends SparkTestBase {
     assert(Jts.fromWkb(viaJoin(4L)).getArea == 0.0, "feature fully underwater")
   }
 
+  test("clip-rect fixture: closed-form bands, shared post-clip arcs, join-path parity") {
+    // the q_topo_clip_rect subject: overlay output must be exactly the
+    // interval-subtraction band decomposition the DuckDB oracle predicts
+    val fs = Fixtures.clipRectFeaturesDf(spark)
+    val water = Fixtures.clipRectWaterDf(spark)
+    val clipped = TopoPipeline.clipWater(fs, water, 0)
+      .select("objId", "wkb").as[(Long, Array[Byte])].collect().toMap
+    // feature 5 fully erased, feature 4 untouched
+    assert(Jts.fromWkb(clipped(5L)).getArea == 0.0)
+    assert(Jts.fromWkb(clipped(4L)).getArea == 100.0)
+    // C: strips [3,5]+[5,8] (touching) + top-crossing [18,25] leave bands
+    // [0,3] and [8,18] -> area 30 + 100
+    assert(math.abs(Jts.fromWkb(clipped(3L)).getArea - 130.0) < 1e-12)
+    // F: five strips of height 2 leave six 4-high bands... first band
+    // [0,2], interior gaps [4,8],[10,14],[16,20],[22,26], last [28,30]
+    assert(math.abs(Jts.fromWkb(clipped(6L)).getArea - (10.0 * (2 + 4 + 4 + 4 + 4 + 2))) < 1e-12)
+    // forced join path is row-identical (same discipline as the curved test)
+    val viaJoin = TopoPipeline.clipWater(fs, water, 0, broadcastLimitBytes = 0L)
+      .select("objId", "wkb").as[(Long, Array[Byte])].collect().toMap
+    assert(viaJoin.keySet == clipped.keySet)
+    clipped.foreach { case (id, wkb) =>
+      assert(Jts.fromWkb(viaJoin(id)).norm().equalsExact(Jts.fromWkb(wkb).norm()),
+        s"objId=$id differs between join and broadcast clip paths")
+    }
+    // topology over the clipped output: features 1|2 share the cut edge
+    // x=10 segments -> exactly two dedup'd shared arcs used by both
+    val topo = TopoPipeline.topology(
+      TopoPipeline.clipWater(fs, water, 0), 0, 0)
+    val sharedArcs = topo.uses.groupBy("arcId")
+      .agg(countDistinct("objId").as("n")).filter(col("n") === 2).count()
+    assert(sharedArcs == 2, "two shared arcs across the A|B edge post-clip")
+    topo.release()
+  }
+
   test("greedy slicer rejects planet-scale object tables loudly (O(n²) guard)") {
     val big = spark.range(TopoPipeline.MaxSliceObjects + 1L)
       .selectExpr("id AS objId", "0.0 AS minx", "0.0 AS miny",

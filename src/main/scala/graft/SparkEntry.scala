@@ -838,6 +838,17 @@ object SparkEntry {
           .select(col("queryId").as("query_id"), col("rank").cast("long").as("rank"),
             col("url"), round(col("dist"), 3).as("dist"))
       }),
+      // E7 batch shape: DataFrame-side query state (knnBatch) — the
+      // 10⁶-probe design where the driver never holds per-query rows;
+      // must be row-identical to q_knn (same brute-force oracle)
+      "q_knn_batch" -> ((s, dir) => {
+        import s.implicits._
+        val pages = Fixtures.pages(s, dir)
+        val qdf = knnQueries.map(q => (q.queryId, q.lon, q.lat)).toDF("queryId", "lon", "lat")
+        Knn.knnBatch(pages, qdf, k = 5)
+          .select(col("queryId").as("query_id"), col("rank").cast("long").as("rank"),
+            col("url"), round(col("dist"), 3).as("dist"))
+      }),
       // dedup family
       "q_minhash_pairs" -> ((s, dir) => TextOps.minhashDedup(Fixtures.documents(s, dir), 0.7)),
       "q_simhash_pairs" -> ((s, dir) => TextOps.simhashDedup(Fixtures.documents(s, dir), 3)),
@@ -1470,6 +1481,8 @@ object SparkEntry {
     // identical rows.
     "q_knn" -> knnOracle,
     "q_knn_pruned" -> knnOracle,
+    // DataFrame-state batch path must return the exact same neighbors
+    "q_knn_batch" -> knnOracle,
 
     // Token counting: the whitespace tokenizer shared with langId, plus the
     // BPE-ish GPT-2 pre-tokenization count. RE2 has no lookahead, so the

@@ -106,7 +106,13 @@ object AviCodec extends Multimodal.MediaCodec {
             width = le32(bytes, off + 40)
             height = le32(bytes, off + 44)
           case "strh" =>
+            // AVISTREAMHEADER: fccType@+0, fccHandler@+4, dwLength@+32 of
+            // the chunk DATA — bound every fixed-offset read like avih
+            // does, so a short strh fails loudly instead of parsing
+            // sibling-chunk bytes as header fields
+            require(len >= 4, s"strh too short ($len) for fccType: $url")
             if (fourCC(bytes, off + 8) == "vids") {
+              require(len >= 36, s"vids strh too short ($len) for dwLength: $url")
               require(fourCC(bytes, off + 12) == "MJPG",
                 s"only MJPG video streams supported, got '${fourCC(bytes, off + 12)}': $url")
               strhFrames = le32(bytes, off + 40) // dwLength

@@ -223,17 +223,26 @@ object JpegCodec extends Multimodal.MediaCodec {
   private final class BitReader(b: Array[Byte], var pos: Int) {
     private var cur = 0
     private var nbits = 0
+    // latched once 0xFF 0xD9 is seen: later refills keep serving 0-bits
+    // WITHOUT advancing pos — falling through would re-read the 0xD9
+    // marker byte as plain entropy data and decode garbage on an
+    // over-reading (truncated/corrupt) stream instead of staying at the
+    // well-defined EOI padding semantics
+    private var atEoi = false
     def bit(): Int = {
       if (nbits == 0) {
-        require(pos < b.length, "truncated JPEG entropy stream")
-        var v = b(pos) & 0xff; pos += 1
-        if (v == 0xff) {
-          val n = if (pos < b.length) b(pos) & 0xff else -1
-          if (n == 0x00) pos += 1 // stuffed data byte
-          else if (n == 0xd9) { v = 0 } // EOI padding: T.81 allows 1-bits; emit 0s
-          else throw new IllegalStateException(f"unexpected marker 0xff$n%02x in entropy stream")
+        if (atEoi) { cur = 0; nbits = 8 }
+        else {
+          require(pos < b.length, "truncated JPEG entropy stream")
+          var v = b(pos) & 0xff; pos += 1
+          if (v == 0xff) {
+            val n = if (pos < b.length) b(pos) & 0xff else -1
+            if (n == 0x00) pos += 1 // stuffed data byte
+            else if (n == 0xd9) { v = 0; atEoi = true } // EOI padding: T.81 allows pad bits; emit 0s
+            else throw new IllegalStateException(f"unexpected marker 0xff$n%02x in entropy stream")
+          }
+          cur = v; nbits = 8
         }
-        cur = v; nbits = 8
       }
       nbits -= 1
       (cur >> nbits) & 1

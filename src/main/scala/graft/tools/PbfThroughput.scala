@@ -68,5 +68,53 @@ object PbfThroughput {
     println(f"decode local[$low%d]:  $lowSecs%6.2f s  (${n / lowSecs / 1e6}%.2f M nodes/s)")
     println(f"decode local[$high%d]: $highSecs%6.2f s  (${n / highSecs / 1e6}%.2f M nodes/s)")
     println(f"scaling efficiency ${low}->$high: $eff%.3f")
+
+    // ---- blob-kind index: the 3-pass import at planet blob ratios ------
+    // ~89% node / ~10% way / ~1% relation blobs. The first pass must scan
+    // everything (and records kinds); with the index, the way and
+    // relation passes then read only their own blobs instead of
+    // re-inflating the node majority — I/O drops from 3 passes to ~1.11.
+    val nw = n / 10
+    val nr = n / 100
+    val ways = (0 until nw).map { i =>
+      (i.toLong * 3 + 1, (0 until 8).map(j => mix(i.toLong * 8 + j) % 1000000L))
+    }
+    val rels = (0 until nr).map { i =>
+      (i.toLong * 5 + 2, Map("type" -> "multipolygon", "name" -> s"r$i"),
+        (0 until 4).map(j => (mix(i.toLong * 4 + j) % 100000L, j % 2, if (j == 0) "outer" else "inner")))
+    }
+    def writeMixed(tag: String): String = {
+      val p = java.nio.file.Files.createTempDirectory("pbf_tp")
+        .resolve(s"mixed_$tag.osm.pbf").toString
+      OsmPbf.write(nodes, ways, rels, p)
+      p
+    }
+    val spark = SparkSession.builder()
+      .appName("pbf-threepass").master(s"local[$high]")
+      .config("spark.sql.shuffle.partitions", high)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      def threePass(path: String, label: String): (Double, Double) = {
+        val t0 = System.nanoTime()
+        require(OsmPbf.nodes(spark, path).count() == n)
+        val tNodes = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        require(OsmPbf.ways(spark, path).count() == nw)
+        require(OsmPbf.relations(spark, path).count() == nr)
+        val tWR = (System.nanoTime() - t1) / 1e9
+        println(f"3-pass [$label%-9s] nodes $tNodes%5.2f s, ways+rels $tWR%5.2f s, total ${tNodes + tWR}%5.2f s")
+        (tNodes, tWR)
+      }
+      OsmPbf.kindIndexEnabled = false
+      val pOff = writeMixed("off")
+      threePass(pOff, "warmup")
+      val (_, wrOff) = threePass(pOff, "index off")
+      OsmPbf.kindIndexEnabled = true
+      val pOn = writeMixed("on")
+      val (_, wrOn) = threePass(pOn, "index on")
+      println(f"way+relation pass speedup from blob-kind index: ${wrOff / wrOn}%.2fx")
+    } finally { spark.stop(); OsmPbf.kindIndexEnabled = true }
   }
 }

@@ -56,6 +56,35 @@ class OsmPbfSpec extends SparkTestBase {
     assert(OsmPbf.nodes(spark, path).rdd.getNumPartitions > 1)
   }
 
+  test("blob-kind index: first pass records kinds, later passes scan only their blobs, rows identical") {
+    val pathOff = writeFixture(blockSize = 16)
+    val pathOn = writeFixture(blockSize = 16)
+    val total = OsmPbf.blobIndex(pathOn).count(_.typ == "OSMData")
+    // baseline: index disabled — every pass scans every blob
+    OsmPbf.kindIndexEnabled = false
+    val (bn, bw, br) =
+      try (OsmPbf.nodes(spark, pathOff).collect().toSet,
+        OsmPbf.ways(spark, pathOff).collect().toSet,
+        OsmPbf.relations(spark, pathOff).collect().toSet)
+      finally OsmPbf.kindIndexEnabled = true
+    // enabled on a FRESH file: before any pass the index has no coverage,
+    // so a ways pass would still scan everything
+    assert(OsmPbf.scanRangeCount(pathOn, OsmPbf.KindWays) == total)
+    // first (nodes) pass scans all blobs and records each blob's kind...
+    val n = OsmPbf.nodes(spark, pathOn).collect().toSet
+    // ...after which later passes plan only their own kind's blobs
+    val wayBlobs = OsmPbf.scanRangeCount(pathOn, OsmPbf.KindWays)
+    val relBlobs = OsmPbf.scanRangeCount(pathOn, OsmPbf.KindRels)
+    assert(wayBlobs > 0 && wayBlobs < total, s"way pass plans $wayBlobs of $total blobs")
+    assert(relBlobs > 0 && relBlobs < total, s"rel pass plans $relBlobs of $total blobs")
+    assert(wayBlobs + relBlobs + OsmPbf.scanRangeCount(pathOn, OsmPbf.KindNodes) == total,
+      "writer emits one kind per blob, so kind counts partition the blob set")
+    // and the filtered passes return EXACTLY the unfiltered rows
+    assert(n == bn)
+    assert(OsmPbf.ways(spark, pathOn).collect().toSet == bw)
+    assert(OsmPbf.relations(spark, pathOn).collect().toSet == br)
+  }
+
   test("written bytes are spec-conformant: independent sequential walk") {
     // minimal protobuf walk written HERE, not sharing the reader's code:
     // varints, tag dispatch, zlib inflate, raw_size agreement

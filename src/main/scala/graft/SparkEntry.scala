@@ -378,6 +378,14 @@ object SparkEntry {
   // are identical across queries in one session — memoize + cache so each
   // Verify/Bench query pays the assembly once (the reference's geometry /
   // topology LRUs, env.go:103-111, at session granularity).
+  // sfDir-keying audit (TwoSfDirSpec pins this): dims/topo/rawTopo/
+  // rawTopoQ/dpTopo/clipTopo memoize pure functions of COMPILED-IN
+  // fixture constants (Fixtures.nodesDf/waterDf/splitOctagons/…), so
+  // their values cannot vary by sfDir — a session-only key is correct,
+  // and an sfDir key would be dead state. Every cache whose value DOES
+  // read sfDir data (jacPairs, clusters) carries the sfDir in its value
+  // and unpersists on change. A new memo over sfDir inputs MUST follow
+  // the jacPairs pattern, never this one.
   // NOTE on WeakHashMap: a DataFrame value strongly references its
   // SparkSession (the key), so weak-key eviction alone can never fire —
   // evictOthers() below caps growth by dropping every OTHER session's

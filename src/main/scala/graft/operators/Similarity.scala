@@ -228,8 +228,11 @@ object Similarity {
     * bruteForceTopK; recall < 1 by construction (validated in tests).
     */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-              nCentroids: Int = 0, nProbe: Int = 4): DataFrame = {
-    val index = ivfIndex(embeddings, nCentroids)
+              nCentroids: Int = 0, nProbe: Int = 4): DataFrame =
+    probeWithIndex(ivfIndex(embeddings, nCentroids), queryIds, k, nProbe)
+
+  private def probeWithIndex(index: IvfIndex, queryIds: Seq[Long], k: Int,
+                             nProbe: Int): DataFrame = {
     val assigned = index.assigned.cache()
     val centroids = index.centroids
       .select(col("centroid_id").as("c_id"), col("cvec"))
@@ -250,5 +253,76 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** MEASURED probe-width calibration: on a deterministic hash-spread
+    * sample of `sampleSize` vectors as pseudo-queries, compute each
+    * sample's TRUE top-k (one brute-force pass — broadcast sample ×
+    * table, same cost shape as the assign pass) and, per true neighbor,
+    * how deep in the query's centroid ranking that neighbor's assigned
+    * list sits. `recall(p)` = fraction of true neighbors at depth ≤ p;
+    * [[autoNProbe]] returns the smallest p meeting `recallTarget`.
+    * The depth distribution is collected to the driver as ≤ sampleSize·k
+    * scalars. Sampling is xxhash64-spread (NOT lowest vec_ids — those
+    * seed the centroids, which would bias depths optimistic).
+    */
+  def probeDepths(index: IvfIndex, k: Int, sampleSize: Int = 64): Array[Int] = {
+    val assigned = index.assigned.cache()
+    val sample = assigned
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleSize)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val sampleN = withNorm(sample, "qvec", "qnrm")
+    val embN = withNorm(assigned.select(col("vec_id"), col("vec")), "vec", "nrm")
+
+    val wTrue = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    val trueTopK = embN.crossJoin(broadcast(sampleN))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosineFromParts(
+        dot(col("qvec"), col("vec")), col("qnrm"), col("nrm")), 6))
+      .withColumn("rank", row_number().over(wTrue))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"))
+
+    val centroids = index.centroids.select(col("centroid_id"), col("cvec"))
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("centroid_id"))
+    val centroidRank = sample.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("qvec"), col("cvec")))
+      .withColumn("crank", row_number().over(wRank))
+      .select(col("query_id"), col("centroid_id"), col("crank"))
+
+    trueTopK
+      .join(assigned.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      .join(centroidRank, Seq("query_id", "centroid_id"))
+      .select(col("crank")).collect().map(_.getInt(0))
+  }
+
+  /** Smallest nProbe whose sampled recall meets `recallTarget` (full
+    * probe when even that can't — depth array empty or target > 1 never
+    * happens for targets ≤ 1 since max depth covers everything).
+    */
+  def autoNProbe(index: IvfIndex, k: Int, recallTarget: Double,
+                 sampleSize: Int = 64): Int = {
+    require(recallTarget > 0 && recallTarget <= 1, s"recallTarget $recallTarget not in (0, 1]")
+    val depths = probeDepths(index, k, sampleSize)
+    if (depths.isEmpty) 1
+    else {
+      val sorted = depths.sorted
+      // smallest p with |{depth <= p}| / n >= target: the depth at the
+      // target quantile position
+      sorted(math.min(sorted.length - 1, math.ceil(recallTarget * sorted.length).toInt - 1))
+    }
+  }
+
+  /** IVF top-k at a RECALL TARGET instead of a hand-tuned probe width:
+    * builds the index once, calibrates nProbe from the measured sampled
+    * depth distribution, probes with it. Returns (results, chosen
+    * nProbe) so callers can log/pin the calibration.
+    */
+  def ivfTopKAuto(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+                  recallTarget: Double, nCentroids: Int = 0,
+                  sampleSize: Int = 64): (DataFrame, Int) = {
+    val index = ivfIndex(embeddings, nCentroids)
+    val nProbe = autoNProbe(index, k, recallTarget, sampleSize)
+    (probeWithIndex(index, queryIds, k, nProbe), nProbe)
   }
 }

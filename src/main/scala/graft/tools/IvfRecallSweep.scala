@@ -46,6 +46,19 @@ object IvfRecallSweep {
         val recall = ivf.intersect(brute).size.toDouble / brute.size
         println(f"$nProbe%8d $recall%10.4f $secs%8.2f")
       }
+      // auto-calibration: nProbe from the measured sampled depth
+      // distribution must deliver the target on the real sweep queries
+      for (target <- Seq(0.85, 0.95)) {
+        val t0 = System.nanoTime()
+        val (df, chosen) = Similarity.ivfTopKAuto(emb, queries, k, target)
+        val got = df.select("query_id", "vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val secs = (System.nanoTime() - t0) / 1e9
+        val recall = got.intersect(brute).size.toDouble / brute.size
+        println(f"auto(target=$target%.2f) -> nProbe=$chosen%3d  recall=$recall%.4f  $secs%6.2f s")
+        require(recall >= target,
+          f"auto-nProbe calibration missed: measured $recall%.4f < target $target%.2f")
+      }
     } finally spark.stop()
   }
 }

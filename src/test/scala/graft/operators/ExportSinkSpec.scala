@@ -2,6 +2,8 @@ package graft.operators
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
@@ -61,6 +63,111 @@ class ExportSinkSpec extends SparkTestBase {
     val entries2 = ExportArchive.tarGz(out, archive2)
     assert(entries2 == entries :+ "export.tar.gz" || entries2 == entries,
       s"unexpected second-run entries: $entries2")
+  }
+
+  test("archive parity: extracted TopoJSON decodes back to the FROZEN golden arcs/uses (E2E)") {
+    // the full chain the reference ships to users: layer export →
+    // writeSlices → tar.gz (export.go:16-48, 101-114, env.go:575-655),
+    // then read back with an INDEPENDENT tar/gzip/JSON stack and checked
+    // against sources.TopoGolden — the reviewed frozen literals the
+    // topo oracles rest on. This pins the JSON serialization (delta
+    // encoding, transform, per-slice arc renumbering, ~i reversal) to
+    // oracled arc DATA, not just to shape. Beats the reference's
+    // export_test.go:12-87, which only asserts slice files exist.
+    val polys = Ingest.polygons(spark, Fixtures.nodesDf(spark), Fixtures.waysDf(spark),
+      Fixtures.relationsDf(spark), Fixtures.blacklist)
+    val water = Ingest.waterPolygons(spark, Fixtures.waterDf(spark))
+    // EXACT topoCountries parameters — the build TopoGolden froze
+    val res = Export.layer(polys, water, "countries", Seq(100L, 101L, 102L, 103L, 104L),
+      simplifyDigits = 3, quantize = 1e6, pointLimit = 20,
+      relations = Some(Fixtures.relationsDf(spark)), languages = Seq("nl", "en"))
+    val out = Files.createTempDirectory("topo_e2e")
+    Export.writeSlices(res, out.toString)
+    val archive = out.resolve("export.tar.gz")
+    ExportArchive.tarGz(out, archive)
+
+    // -- independent extraction: GZIPInputStream + hand-rolled ustar walk
+    val raw = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPInputStream(Files.newInputStream(archive))
+    try { val buf = new Array[Byte](8192); var n = gz.read(buf)
+          while (n > 0) { raw.write(buf, 0, n); n = gz.read(buf) } } finally gz.close()
+    val tar = raw.toByteArray
+    var off = 0
+    val extracted = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    while (off + 512 <= tar.length && tar(off) != 0) {
+      val name = new String(tar, off, 100, "US-ASCII").takeWhile(_ != 0)
+      val size = java.lang.Long.parseLong(
+        new String(tar, off + 124, 12, "US-ASCII").takeWhile(c => c != 0 && c != ' '), 8).toInt
+      extracted(name) = new String(tar, off + 512, size, "UTF-8")
+      off += 512 + ((size + 511) / 512) * 512
+    }
+    val sliceDocs = extracted.filter(_._1.endsWith(".topojson"))
+    assert(sliceDocs.nonEmpty, s"no topojson entries in ${extracted.keys}")
+
+    // -- independent JSON parse (Jackson, from Spark's classpath)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // decoded arc -> bbox; per object -> set of matched golden arcIds
+    val goldenArcs = graft.sources.TopoGolden.arcs
+    val goldenUses = graft.sources.TopoGolden.uses
+    val seenObjs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val matchedUses = scala.collection.mutable.Set.empty[(Long, Long)]
+    val tol = 5e-4 // half a 1e6-position quantize step over the extent, with margin
+    sliceDocs.foreach { case (nm, json) =>
+      val root = om.readTree(json)
+      assert(root.get("type").asText == "Topology", s"$nm not a Topology")
+      val sx = root.get("transform").get("scale").get(0).asDouble
+      val sy = root.get("transform").get("scale").get(1).asDouble
+      val tx = root.get("transform").get("translate").get(0).asDouble
+      val ty = root.get("transform").get("translate").get(1).asDouble
+      // decode every slice-local arc to its bbox, then match to a golden arc
+      val arcsNode = root.get("arcs")
+      val localToGolden = (0 until arcsNode.size).map { i =>
+        var qx = 0L; var qy = 0L
+        var minx = Double.MaxValue; var miny = Double.MaxValue
+        var maxx = Double.MinValue; var maxy = Double.MinValue
+        val arc = arcsNode.get(i)
+        (0 until arc.size).foreach { j =>
+          if (j == 0) { qx = arc.get(j).get(0).asLong; qy = arc.get(j).get(1).asLong }
+          else { qx += arc.get(j).get(0).asLong; qy += arc.get(j).get(1).asLong }
+          val x = qx * sx + tx; val y = qy * sy + ty
+          minx = math.min(minx, x); miny = math.min(miny, y)
+          maxx = math.max(maxx, x); maxy = math.max(maxy, y)
+        }
+        val hits = goldenArcs.filter { case (_, _, gx0, gy0, gx1, gy1) =>
+          math.abs(gx0 - minx) < tol && math.abs(gy0 - miny) < tol &&
+            math.abs(gx1 - maxx) < tol && math.abs(gy1 - maxy) < tol
+        }
+        assert(hits.size == 1,
+          s"$nm arc $i bbox ($minx,$miny,$maxx,$maxy) matches ${hits.size} golden arcs")
+        i -> hits.head._1
+      }.toMap
+      // every object's (possibly ~reversed) arc refs resolve to golden uses
+      val objs = root.get("objects")
+      objs.fieldNames.asScala.foreach { idStr =>
+        val objId = idStr.toLong
+        seenObjs += objId
+        val o = objs.get(idStr)
+        val polysArcs = o.get("type").asText match {
+          case "Polygon" => Seq(o.get("arcs"))
+          case "MultiPolygon" => (0 until o.get("arcs").size).map(o.get("arcs").get)
+        }
+        polysArcs.foreach { poly =>
+          (0 until poly.size).foreach { r =>
+            val ring = poly.get(r)
+            (0 until ring.size).foreach { s =>
+              val ref = ring.get(s).asInt
+              val local = if (ref < 0) -ref - 1 else ref // TopoJSON ~i = -i-1
+              matchedUses += ((objId, localToGolden(local)))
+            }
+          }
+        }
+      }
+    }
+    assert(seenObjs.sorted == Seq(100L, 101L, 102L, 103L, 104L),
+      s"objects across slices: $seenObjs")
+    assert(matchedUses.toSet == goldenUses.toSet,
+      s"decoded uses ${matchedUses.toSeq.sorted} != golden ${goldenUses.sorted}")
+    res.release()
   }
 
   test("LayerResult.release drops caches; outputs stay recomputable") {

@@ -284,4 +284,34 @@ class TextOpsSpec extends SparkTestBase {
     val recall = brute.intersect(ivf).size.toDouble / brute.size
     assert(recall >= 0.8, s"recall $recall")
   }
+
+  test("auto-nProbe: calibrated width meets the recall target; monotone in the target") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val index = Similarity.ivfIndex(emb)
+    val nCentroids = index.centroids.count().toInt
+    // monotone: a stricter target can only widen the probe
+    val pLo = Similarity.autoNProbe(index, k = 5, recallTarget = 0.5)
+    val pMid = Similarity.autoNProbe(index, k = 5, recallTarget = 0.9)
+    val pHi = Similarity.autoNProbe(index, k = 5, recallTarget = 1.0)
+    assert(pLo >= 1 && pLo <= pMid && pMid <= pHi && pHi <= nCentroids,
+      s"probe widths not monotone: $pLo / $pMid / $pHi of $nCentroids")
+    // calibration holds BY MEASUREMENT on the sampled depths: at the
+    // chosen width, >= target fraction of sampled true neighbors are
+    // within the probed lists
+    val depths = Similarity.probeDepths(index, k = 5)
+    val sampled = depths.count(_ <= pMid).toDouble / depths.length
+    assert(sampled >= 0.9, s"sampled recall $sampled at nProbe=$pMid")
+    // end-to-end: the auto path returns the same rows as the manual path
+    // at its chosen width, and measured recall on real queries meets the
+    // target with the sampling slack documented in BENCH.md
+    val (auto, chosen) = Similarity.ivfTopKAuto(emb, 0L to 9L, 5, recallTarget = 0.9)
+    val manual = Similarity.ivfTopK(emb, 0L to 9L, 5, nProbe = chosen)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val autoSet = auto.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(autoSet == manual)
+    val brute2 = Similarity.bruteForceTopK(emb, 0L to 9L, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val measured = brute2.intersect(autoSet).size.toDouble / brute2.size
+    assert(measured >= 0.8, s"measured recall $measured at auto nProbe=$chosen (target 0.9)")
+  }
 }

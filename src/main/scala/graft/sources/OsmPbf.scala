@@ -441,11 +441,14 @@ object OsmPbf {
     (path, st.getLen, st.getModificationTime, contentProbe(path, st.getLen))
   }
 
-  private def dataRanges(path: String): Seq[BlobRange] = {
+  // key computed ONCE per public call and passed down: cacheKey costs an
+  // FsIO.status plus a 64-byte ranged read — one round trip per lookup on
+  // an object store, so dataRanges/kindCache must share a single probe
+  private def dataRanges(key: (String, Long, Long, Long)): Seq[BlobRange] = {
     // keyed by length, mtime AND a head-bytes probe: a same-size rewrite
     // must re-index (and re-run the required_features check), not serve
     // stale blob offsets — even within one mtime-granularity tick
-    val key = cacheKey(path)
+    val path = key._1
     rangesCache.synchronized {
       var v = rangesCache.get(key)
       if (v == null) {
@@ -479,10 +482,20 @@ object OsmPbf {
   private final class KindState {
     val accs = scala.collection.mutable.Buffer.empty[org.apache.spark.util.CollectionAccumulator[(Long, Int)]]
     val merged = scala.collection.mutable.HashMap.empty[Long, Int]
-    def fold(): Unit = {
+    /** Merge every registered accumulator's current snapshot. Does NOT
+      * drop the accumulators: a construct-all-then-run caller registers
+      * three recording Datasets before any job runs, and clearing here
+      * would permanently discard their still-empty accumulators — the
+      * kind data they later record would never merge and the
+      * optimization would silently never engage. Re-merging the same
+      * snapshot is idempotent (OR). [[release]] drops the references
+      * only once coverage is complete (no pass registers after that, and
+      * dropping lets the weakly-held accumulators GC so re-executed
+      * Datasets stop growing driver state).
+      */
+    def fold(): Unit =
       accs.foreach(_.value.forEach(e => merged.update(e._1, merged.getOrElse(e._1, 0) | e._2)))
-      accs.clear()
-    }
+    def release(): Unit = accs.clear()
   }
 
   private val kindCache =
@@ -524,10 +537,11 @@ object OsmPbf {
     * accumulator registration, no side effects beyond the range walk).
     */
   private[graft] def scanRangeCount(path: String, kind: Int): Int = {
-    val all = dataRanges(path)
+    val key = cacheKey(path)
+    val all = dataRanges(key)
     if (!kindIndexEnabled) all.size
     else kindCache.synchronized {
-      val st = kindCache.get(cacheKey(path))
+      val st = kindCache.get(key)
       if (st == null) all.size
       else {
         st.fold()
@@ -542,19 +556,20 @@ object OsmPbf {
       spark: SparkSession, path: String, kind: Int)(
       decode: Array[Byte] => Iterator[T]): org.apache.spark.sql.Dataset[T] = {
     import spark.implicits._
-    val all = dataRanges(path)
+    val key = cacheKey(path)
+    val all = dataRanges(key)
     // (ranges to scan, accumulator to feed) — filter only when the kind
     // index covers EVERY data blob; otherwise scan all and record kinds
     val (ranges, acc) =
       if (!kindIndexEnabled) (all, None)
       else kindCache.synchronized {
-        val key = cacheKey(path)
         var st = kindCache.get(key)
         if (st == null) { st = new KindState; kindCache.put(key, st) }
         st.fold()
-        if (all.forall(b => st.merged.contains(b.offset)))
+        if (all.forall(b => st.merged.contains(b.offset))) {
+          st.release() // coverage complete: no more recorders needed
           (all.filter(b => (st.merged(b.offset) & kind) != 0), None)
-        else {
+        } else {
           val a = spark.sparkContext.collectionAccumulator[(Long, Int)](s"pbf-kinds:$path")
           st.accs += a
           (all, Some(a))

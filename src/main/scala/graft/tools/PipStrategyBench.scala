@@ -32,8 +32,12 @@ import graft.operators.PipJoin
 object PipStrategyBench {
 
   /** Pages with `skewFrac` of rows moved into one join cell: jitter
-    * ±0.001° around the Brussels fixture center, which stays inside one
-    * cell at every join level ≤ 14. Deterministic per url hash;
+    * ±0.001° around the Brussels fixture center. One-cell containment
+    * holds at every join level `chooseJoinLevel` can pick (≤ 12 — the
+    * nearest level-12 lon boundaries are 4.3066/4.3945); at level 13/14
+    * the 4.3505859 cell boundary falls INSIDE the jitter range and
+    * would split ~21% of the hot mass — re-center the jitter if
+    * maxJoinLevel is ever raised. Deterministic per url hash;
     * fingerprint-keyed like Bench.pagesTable.
     */
   def skewedPagesTable(spark: SparkSession, sfDir: String, replicate: Int,

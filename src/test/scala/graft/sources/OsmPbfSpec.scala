@@ -85,6 +85,21 @@ class OsmPbfSpec extends SparkTestBase {
     assert(OsmPbf.relations(spark, pathOn).collect().toSet == br)
   }
 
+  test("blob-kind index: construct-all-then-run converges (fold keeps in-flight accumulators)") {
+    // all three recording Datasets registered BEFORE any job runs: fold()
+    // must not discard their still-empty accumulators, or the kind data
+    // they later record would never merge and filtering would never engage
+    val path = writeFixture(blockSize = 16)
+    val total = OsmPbf.blobIndex(path).count(_.typ == "OSMData")
+    val n = OsmPbf.nodes(spark, path)
+    val w = OsmPbf.ways(spark, path)
+    val r = OsmPbf.relations(spark, path)
+    assert(OsmPbf.scanRangeCount(path, OsmPbf.KindWays) == total, "no coverage yet")
+    n.count(); w.count(); r.count()
+    assert(OsmPbf.scanRangeCount(path, OsmPbf.KindWays) < total,
+      "coverage must complete from accumulators registered before any action ran")
+  }
+
   test("written bytes are spec-conformant: independent sequential walk") {
     // minimal protobuf walk written HERE, not sharing the reader's code:
     // varints, tag dispatch, zlib inflate, raw_size agreement

@@ -47,6 +47,12 @@ class KnnBatchSpec extends SparkTestBase {
     val onlyBatch = viaBatch -- viaDriver
     assert(onlyDriver.isEmpty && onlyBatch.isEmpty,
       s"paths diverge: driver-only=${onlyDriver.take(5)} batch-only=${onlyBatch.take(5)}")
+
+    // pcell-pruned batch variant: grid-bounded frontier-pcell isin reaches
+    // the in-memory batch stats; rows must not change
+    val viaPruned = Knn.knnBatch(pages, qdf, k, partitionLevel = 4)
+      .select("queryId", "rank", "url").as[(String, Long, String)].collect().toSet
+    assert(viaPruned == viaBatch, "pcell-pruned batch path diverged")
     pages.unpersist()
   }
 

@@ -510,7 +510,14 @@ object Fixtures {
     (7L, 399, 8, 411, 10),
     (8L, 399, 14, 411, 16),
     (9L, 399, 20, 411, 22),
-    (10L, 399, 26, 411, 28))
+    (10L, 399, 26, 411, 28),
+    // touch-only strips (zero-area overlap): bbox-overlap + prepared
+    // intersects are TRUE (touching counts), the difference is a no-op,
+    // and JTS returns the clean unchanged ring (probed) — the oracle
+    // drops them at the hi > lo clamp. Pins the boundary-inclusive
+    // prefilter semantics the curved pipeline relies on.
+    (11L, 199, 10, 211, 12), // touches D's top edge
+    (12L, 399, -2, 411, 0)) // touches F's bottom edge
 
   /** clipRectFeatures as a clip-ready feature table (objId, wkb, bbox). */
   def clipRectFeaturesDf(spark: SparkSession): DataFrame = {

@@ -133,12 +133,13 @@ object PipJoin {
     * `joinLevel <= 0` picks the level from cover stats.
     */
   def matchesPartitioned(pages: DataFrame, covers: DataFrame, polygons: DataFrame,
-                         joinLevel: Int = 0, salt: Int = 1): DataFrame = {
+                         joinLevel: Int = 0, salt: Int = 1,
+                         pruneProbe: Boolean = false): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
     val jl = if (joinLevel > 0) joinLevel else chooseJoinLevel(covers)
 
-    val coverCells = covers.select(col("relId"), col("layer"), col("cellId"))
+    val coverCellsBase = covers.select(col("relId"), col("layer"), col("cellId"))
       .as[(Long, String, Long)]
       .flatMap { case (relId, layer, cellId) =>
         val l = graft.cells.Cell.level(cellId)
@@ -158,16 +159,29 @@ object PipJoin {
         }
       }
       .toDF("relId", "layer", "joinCell", "rmin", "rmax")
+    val coverCells = coverCellsBase
       // ONE build row per (relId, layer, joinCell): merged range list.
       // This shuffles only the (small) dimension side, once.
       .groupBy("relId", "layer", "joinCell")
       .agg(collect_list(struct(col("rmin"), col("rmax"))).as("ranges"))
       .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
 
-    val probes = pages
+    val probes0 = pages
       .withColumn("joinCell", st_cell_at(col("lon"), col("lat"), jl))
       .withColumn("leaf", st_cell_at(col("lon"), col("lat"), graft.cells.Cell.MaxLevel))
       .withColumn("salt", pmod(hash(col("url")), lit(salt)))
+
+    // probe-side pruning: pages whose joinCell has NO build row can only
+    // be dropped by the join — a broadcast SEMI-join on the distinct
+    // build cells (grid-bounded: ≤ #cells at joinLevel, independent of
+    // dimension size) drops them BEFORE the shuffle instead of after.
+    // Spark's own runtime bloom filter does this automatically only past
+    // its 10 GB application-side scan threshold; this makes the pruning
+    // unconditional. Row set unchanged (semi-join of an inner-join key).
+    val probes =
+      if (!pruneProbe) probes0
+      else probes0.join(broadcast(coverCellsBase.select("joinCell").distinct()),
+        Seq("joinCell"), "left_semi")
 
     probes
       .join(coverCells, Seq("joinCell", "salt"))
@@ -247,7 +261,12 @@ object PipJoin {
       else Some(matchesIndexed(pages, hotOnly(covers), hotOnly(polygons)))
     val shufflePart =
       if (hot.length == nTotal) None
-      else Some(matchesPartitioned(pages, coldOnly(covers), coldOnly(polygons), salt = salt))
+      // pruneProbe: the cold tail's cover cells are the SPARSE part of
+      // the grid (hot relations absorbed the high-traffic cells), so the
+      // pre-shuffle semi-join drop is exactly where it pays — pages in
+      // hot-only cells never enter the cold shuffle
+      else Some(matchesPartitioned(pages, coldOnly(covers), coldOnly(polygons), salt = salt,
+        pruneProbe = true))
     (bcastPart, shufflePart) match {
       case (Some(b), Some(s)) => b.unionByName(s)
       case (Some(b), None) => b

@@ -82,8 +82,13 @@ class PipelineSpec extends SparkTestBase {
       .as[(String, String, Long)].collect().toSeq.sorted
     val d = PipJoin.matchesIndexed(pages, covers, polys)
       .as[(String, String, Long)].collect().toSeq.sorted
+    // probe-side pre-shuffle pruning is a semi-join on an inner-join key:
+    // rows must be untouched
+    val e = PipJoin.matchesPartitioned(pages, covers, polys, joinLevel = 8, salt = 4,
+      pruneProbe = true)
+      .as[(String, String, Long)].collect().toSeq.sorted
     assert(a == a.distinct, "broadcast strategy emitted duplicate (url,layer,relId) rows")
-    assert(a == b && a == c && a == d)
+    assert(a == b && a == c && a == d && a == e)
   }
 
   test("partitioned strategy property: RANDOM joinLevel × salt all equal broadcast rows") {

@@ -539,6 +539,103 @@ object SparkEntry {
       v
     }
 
+  /** Session-memoized clip-stage topology on the CURVED fixture: the real
+    * countries polygons (octagons, one with a hole) clipped by the real
+    * classified water (ocean octagon with island hole) at simplify /
+    * quantize 0, so every emitted coordinate is a JTS overlay product on
+    * curved input — the subject of q_topo_clip_member's probe-grid
+    * membership oracle (the round-7 closure of the last `no_oracle` row:
+    * DuckDB cannot replay JTS difference COORDINATES on curved input, but
+    * it can verify MEMBERSHIP, which is what a clip means).
+    */
+  private val clipMemberCache = new java.util.WeakHashMap[SparkSession, operators.TopoPipeline.Topology]()
+
+  private def clipMemberTopo(spark: SparkSession): operators.TopoPipeline.Topology =
+    clipMemberCache.synchronized {
+      var v = clipMemberCache.get(spark)
+      if (v == null) {
+        val (polys, _) = dims(spark)
+        val feats = polys
+          .filter(col("layer") === "countries" && col("relId").isin(100L, 101L, 102L, 103L, 104L))
+          .select(col("relId").as("objId"), col("wkb"), col("bbox"))
+        val water = Ingest.waterPolygons(spark, Fixtures.waterDf(spark))
+        val clipped = operators.TopoPipeline.clipWater(feats, water, simplifyDigits = 0)
+        val t0 = operators.TopoPipeline.topology(clipped, simplifyDigits = 0, quantize = 0)
+        v = t0.copy(arcs = t0.arcs.localCheckpoint(), uses = t0.uses.localCheckpoint(),
+          caches = Nil)
+        t0.release()
+        evictOthers(clipMemberCache, spark)(_.release())
+        clipMemberCache.put(spark, v)
+      }
+      v
+    }
+
+  /** Probe sets are fixture constants shared VERBATIM by the Spark
+    * membership queries and their DuckDB oracles (no cross-engine probe
+    * arithmetic to keep in parity). Clip-only probes: exclusion band
+    * eps=1e-4 around every input edge (raw overlay boundary error is
+    * ~1e-9, so anything the band admits classifies identically in both
+    * derivations). Composite-layer probes: eps=4e-3 — the real layer
+    * applies Douglas-Peucker at tolerance 1e-3 pre-clip AND post-clip,
+    * each moving the boundary ≤ 1e-3, so 4e-3 keeps every probe clear of
+    * legitimate simplification wiggle while still convicting any clip,
+    * topology or reconstruction error that moves a boundary by more than
+    * the probe pitch (~0.25° grid + offsets at every vertex/crossing).
+    */
+  private lazy val clipMemberProbes = Fixtures.memberProbes(eps = 1e-4, nGrid = 40)
+  private lazy val layerMemberProbes = Fixtures.memberProbes(eps = 4e-3, nGrid = 40)
+
+  /** Probe membership over a topology's RECONSTRUCTED geometry: even-odd
+    * parity ([[graft.cells.Coverer.containsPoint]]'s half-open ray cast —
+    * the same convention the oracle SQL states explicitly) over every
+    * ring the engine emitted, XOR-folded so shells, holes and
+    * multi-polygon parts compose. An object absent from the topology
+    * (fully clipped away) classifies all its probes outside via the left
+    * join. Probes are fixture literals (see [[Fixtures.memberProbes]]).
+    */
+  private def memberQuery(s: SparkSession, topo: operators.TopoPipeline.Topology,
+                          probes: Seq[(Long, Long, Double, Double)]): DataFrame = {
+    import s.implicits._
+    val probeDf = probes.toDF("objId", "probe_id", "px", "py")
+    probeDf.join(Export.reconstruct(topo), Seq("objId"), "left")
+      .select(col("objId").as("_1"), col("probe_id").as("_2"),
+        col("px").as("_3"), col("py").as("_4"), col("wkb").as("_5"))
+      .as[(Long, Long, Double, Double, Array[Byte])]
+      .mapPartitions { it =>
+        val ringCache = collection.mutable.HashMap.empty[Long, Seq[IndexedSeq[(Double, Double)]]]
+        it.map { case (objId, pid, px, py, wkb) =>
+          val rings =
+            if (wkb == null) Nil
+            else ringCache.getOrElseUpdate(objId, {
+              val g = graft.geom.Jts.fromWkb(wkb)
+              (0 until g.getNumGeometries).flatMap { gi =>
+                val p = g.getGeometryN(gi).asInstanceOf[org.locationtech.jts.geom.Polygon]
+                (p.getExteriorRing +: (0 until p.getNumInteriorRing).map(p.getInteriorRingN))
+                  .map(_.getCoordinates.map(c => (c.x, c.y)).toIndexedSeq)
+              }
+            })
+          val inside = rings.foldLeft(false)((acc, r) =>
+            acc ^ graft.cells.Coverer.containsPoint(r, px, py))
+          (objId, pid, px, py, if (inside) 1L else 0L)
+        }
+      }
+      .toDF("objId", "probe_id", "px", "py", "inside")
+  }
+
+  /** The pre-round-7 q_topo_arcs payload — quantized per-arc delta sums
+    * over the REAL countries layer — retained verbatim for GoldenSpec's
+    * frozen row-for-row pin (arc CONTENTS). The driver-facing q_topo_arcs
+    * is now the probe-membership form, which carries an independent
+    * DuckDB oracle on the same pipeline output.
+    */
+  def topoArcDeltas(s: SparkSession): DataFrame = {
+    import s.implicits._
+    topoCountries(s).topo.arcsQ.get.select(col("arcId"), col("qpts"))
+      .as[(Long, Seq[(Int, Int)])]
+      .map { case (id, q) => (id, q.length, q.map(p => p._1.toLong + p._2).sum) }
+      .toDF("arcId", "n_pts", "delta_sum")
+  }
+
   /** Jaccard pairs + near-dup clustering memoized per (session, sfDir) —
     * q_jaccard_pairs, q_dedup_clusters and q_dedup_canonical share one
     * pair computation and one clustering run (session-granularity reuse,
@@ -892,15 +989,20 @@ object SparkEntry {
             .cast("double"), 12).as("m"),
             count(lit(1)).as("n"))),
       // P1-P10/E1-E5: topology pipeline — shared-arc dedup, DP simplify,
-      // quantize, water clip, greedy slicing (engine-native; golden-tested)
-      "q_topo_arcs" -> ((s, _) => {
-        import s.implicits._
-        val res = topoCountries(s)
-        res.topo.arcsQ.get.select(col("arcId"), col("qpts"))
-          .as[(Long, Seq[(Int, Int)])]
-          .map { case (id, q) => (id, q.length, q.map(p => p._1.toLong + p._2).sum) }
-          .toDF("arcId", "n_pts", "delta_sum")
-      }),
+      // quantize, water clip, greedy slicing. q_topo_arcs is the COMPOSITE
+      // curved-layer membership check (round 7): a fixture probe grid
+      // classified against the engine's reconstructed clip+DP+topology
+      // output, with the expectation — inside(feature) AND NOT
+      // inside(water) — re-derived by DuckDB from the INPUT rings alone.
+      // The old quantized-delta payload stays frozen in GoldenSpec via
+      // topoArcDeltas (arc contents); this form is what a second engine
+      // can actually verify on curved input.
+      "q_topo_arcs" -> ((s, _) =>
+        memberQuery(s, topoCountries(s).topo, layerMemberProbes)),
+      // P6/P7 on CURVED input in isolation: raw overlay clip (simplify 0,
+      // quantize 0) membership-checked on a tighter probe band (eps 1e-4)
+      "q_topo_clip_member" -> ((s, _) =>
+        memberQuery(s, clipMemberTopo(s), clipMemberProbes)),
       // raw topology (no clip/simplify/quantize) over the split-octagon
       // fixture: junction cutting + shared-arc dedup with every vertex an
       // input coordinate — fully SQL-oracled (see rawTopoOracle)
@@ -1195,10 +1297,17 @@ object SparkEntry {
     // without an independent oracle
     "q_topo_arcs_dp" -> dpTopoOracle,
     // P6/P7 overlay clip replayed by closed-form interval subtraction
-    // over the rectilinear fixture (see clipRectOracle) — with this
-    // green EVERY topology stage has an independent oracle; only the
-    // curved-fixture q_topo_arcs stays golden-pinned
+    // over the rectilinear fixture (see clipRectOracle)
     "q_topo_clip_rect" -> clipRectOracle,
+    // P6/P7 on CURVED input: probe-grid membership of the raw overlay
+    // output vs the input-ring derivation (see memberOracle) — with this
+    // and the composite q_topo_arcs membership below, NO query is
+    // golden-only; the coordinate-level curved pin stays in GoldenSpec
+    "q_topo_clip_member" -> memberOracle(clipMemberProbes),
+    // the COMPOSITE curved layer (clip + DP + topology + reconstruct)
+    // membership-checked on the wider eps=4e-3 band (DP tolerance 1e-3
+    // applied pre- and post-clip)
+    "q_topo_arcs" -> memberOracle(layerMemberProbes),
     // streaming PIP must be row-identical to the batch join — same oracle
     "q_stream_pip" ->
       s"""$pipOracleCtes
@@ -2163,6 +2272,57 @@ object SparkEntry {
        |SELECT CAST(row_number() OVER (ORDER BY key) - 1 AS BIGINT) AS arcId,
        |       pts, CAST(n_pts AS BIGINT) AS n_pts, CAST(n_uses AS BIGINT) AS n_uses, objs
        |FROM arcs""".stripMargin
+  }
+
+  /** Membership oracle for the CURVED overlay clip (q_topo_clip_member /
+    * the redefined q_topo_arcs): the expected classification of every
+    * fixture probe is re-derived by DuckDB from the INPUT rings alone —
+    * even-odd ray-cast parity over the feature's rings AND NOT parity
+    * over the classified water rings (ocean outer + island hole) — while
+    * the Spark side ray-casts the same probes against the rings the
+    * ENGINE emitted. Nothing engine-derived is embedded: probes, feature
+    * edges and water edges are all fixture constants (quoted-string
+    * doubles; correctly-rounded parse on both sides). The ray-cast is the
+    * same half-open convention q_cell_covers' oracle replicates
+    * IEEE-op-for-op; probes sit ≥ eps from every input edge, so the two
+    * conventions cannot disagree on a correct clip, and any wrong clip
+    * that moves a boundary by more than the probe pitch flips at least
+    * one row. Reference clip semantics: osmtopo/geometries.go:207-267.
+    */
+  private def memberOracle(probes: Seq[(Long, Long, Double, Double)]): String = {
+    def d(v: Double): String = "'" + java.lang.Double.toString(v) + "'"
+    val probeRows = probes.map { case (o, k, x, y) => s"($o, $k, ${d(x)}, ${d(y)})" }
+      .mkString(",\n    ")
+    val featRows = Fixtures.memberFeatureRings.flatMap { case (obj, rings) =>
+      rings.flatMap(_.sliding(2).map(sg =>
+        s"($obj, ${d(sg(0)._1)}, ${d(sg(0)._2)}, ${d(sg(1)._1)}, ${d(sg(1)._2)})"))
+    }.mkString(",\n    ")
+    val watRows = Fixtures.memberWaterRings.flatMap(_.sliding(2).map(sg =>
+      s"(${d(sg(0)._1)}, ${d(sg(0)._2)}, ${d(sg(1)._1)}, ${d(sg(1)._2)})")).mkString(",\n    ")
+    def parity(tbl: String, bind: String): String =
+      s"""((SELECT count(*) FROM $tbl e WHERE $bind((e.y2 > p.py) <> (e.y1 > p.py))
+         |             AND p.px < (e.x1 - e.x2) * (p.py - e.y2) / (e.y1 - e.y2) + e.x2) % 2 = 1)""".stripMargin
+    s"""WITH probes AS (SELECT CAST(obj AS BIGINT) AS obj, CAST(pid AS BIGINT) AS pid,
+       |                       CAST(px AS DOUBLE) AS px, CAST(py AS DOUBLE) AS py
+       |                FROM (VALUES
+       |    $probeRows
+       |  ) AS t(obj, pid, px, py)),
+       |fe AS (SELECT CAST(obj AS BIGINT) AS obj,
+       |              CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1,
+       |              CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2
+       |       FROM (VALUES
+       |    $featRows
+       |  ) AS t(obj, x1, y1, x2, y2)),
+       |we AS (SELECT CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1,
+       |              CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2
+       |       FROM (VALUES
+       |    $watRows
+       |  ) AS t(x1, y1, x2, y2))
+       |SELECT p.obj AS objId, p.pid AS probe_id, p.px, p.py,
+       |       CAST(CASE WHEN ${parity("fe", "e.obj = p.obj AND ")}
+       |                  AND NOT ${parity("we", "")}
+       |            THEN 1 ELSE 0 END AS BIGINT) AS inside
+       |FROM probes p""".stripMargin
   }
 
   /** Independent IVF-ANN oracle (q_ann_ivf): the ENTIRE

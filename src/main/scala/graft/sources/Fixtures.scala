@@ -545,4 +545,103 @@ object Fixtures {
       .toDF("id", "rings")
       .withColumn("rings", expr("transform(rings, r -> transform(r, p -> struct(p._1 AS x, p._2 AS y)))"))
   }
+
+  // ---------------------------------------------------------------------
+  // Curved-clip membership probes (q_topo_clip_member / q_topo_arcs).
+  // Everything below is pure fixture arithmetic — no engine code, no JTS —
+  // so the probe set and the expected memberships are derivable by a
+  // second engine from the same constants.
+  // ---------------------------------------------------------------------
+
+  /** Ground-truth clip water for the membership oracles: the two rings of
+    * [[osm]]'s shapefile water that survive classification — ocean outer
+    * + island hole (the speck is sub-threshold, the 2-point part
+    * degenerate; q_water pins that classification independently).
+    * Closed rings; orientation irrelevant under even-odd parity.
+    */
+  lazy val memberWaterRings: Seq[IndexedSeq[(Double, Double)]] =
+    Seq(octagon(-1.0, 50.85, 2.5), octagon(-1.0, 50.85, 0.4)).map(r => r :+ r.head)
+
+  /** countries-layer INPUT rings per export object (outer first, then
+    * holes), closed — the ground-truth side of the membership oracles.
+    */
+  lazy val memberFeatureRings: Seq[(Long, Seq[IndexedSeq[(Double, Double)]])] =
+    oracleDims.collect { case ("countries", id, _, _, outer, holes) =>
+      (id, (outer +: holes.toIndexedSeq).map(r => r :+ r.head))
+    }
+
+  private def segDist(px: Double, py: Double,
+                      x1: Double, y1: Double, x2: Double, y2: Double): Double = {
+    val dx = x2 - x1; val dy = y2 - y1
+    val len2 = dx * dx + dy * dy
+    val t = if (len2 == 0) 0.0 else math.max(0.0, math.min(1.0, ((px - x1) * dx + (py - y1) * dy) / len2))
+    val cx = x1 + t * dx; val cy = y1 + t * dy
+    math.hypot(px - cx, py - cy)
+  }
+
+  /** Proper-or-touching intersection of segments a-b and c-d (closed
+    * form); None when parallel or disjoint. Used only to SEED probe
+    * locations — membership near these points is what convicts a wrong
+    * overlay — so 1-ulp placement wiggle is irrelevant (the probes are
+    * embedded verbatim in both engines' inputs).
+    */
+  private def segIntersect(ax: Double, ay: Double, bx: Double, by: Double,
+                           cx: Double, cy: Double, dx: Double, dy: Double): Option[(Double, Double)] = {
+    val d = (bx - ax) * (dy - cy) - (by - ay) * (dx - cx)
+    if (d == 0) return None
+    val t = ((cx - ax) * (dy - cy) - (cy - ay) * (dx - cx)) / d
+    val u = ((cx - ax) * (by - ay) - (cy - ay) * (bx - ax)) / d
+    if (t < 0 || t > 1 || u < 0 || u > 1) None
+    else Some((ax + t * (bx - ax), ay + t * (by - ay)))
+  }
+
+  private def ringSegs(r: IndexedSeq[(Double, Double)]): Seq[(Double, Double, Double, Double)] =
+    r.sliding(2).map(s => (s(0)._1, s(0)._2, s(1)._1, s(1)._2)).toSeq
+
+  /** Deterministic membership probes for the curved overlay-clip oracles:
+    * per export object a fractional-offset grid over the feature bbox,
+    * diagonal offsets around every input vertex (feature rings + water
+    * rings near the feature) and around every feature-edge × water-edge
+    * intersection — the places a wrong clip moves a boundary — then every
+    * probe within `eps` of ANY input edge (this feature's rings + water
+    * rings) is dropped, so membership is invariant to boundary wiggle
+    * below `eps` (JTS noding error ~1e-9 for the raw clip; 2× the DP
+    * tolerance bounds the simplified layer). Returns
+    * (objId, probeId, x, y); the SAME literal probes feed the Spark query
+    * and the DuckDB oracle, so no cross-engine arithmetic parity is
+    * needed for probe GENERATION — only the ray-cast convention, which
+    * both sides state explicitly.
+    */
+  def memberProbes(eps: Double, nGrid: Int): Seq[(Long, Long, Double, Double)] = {
+    val waterSegs = memberWaterRings.flatMap(ringSegs)
+    memberFeatureRings.flatMap { case (objId, rings) =>
+      val featSegs = rings.flatMap(ringSegs)
+      val allSegs = featSegs ++ waterSegs
+      val outer = rings.head
+      val xs = outer.map(_._1); val ys = outer.map(_._2)
+      val (bx0, by0, bx1, by1) = (xs.min, ys.min, xs.max, ys.max)
+      val stepX = (bx1 - bx0) / nGrid; val stepY = (by1 - by0) / nGrid
+      val grid = for (i <- 0 until nGrid; j <- 0 until nGrid) yield
+        (bx0 + (i + 0.318309) * stepX, by0 + (j + 0.367879) * stepY)
+      val d = 3 * eps
+      val nearBbox = (x: Double, y: Double) =>
+        x >= bx0 - 0.01 && x <= bx1 + 0.01 && y >= by0 - 0.01 && y <= by1 + 0.01
+      val verts = rings.flatMap(_.dropRight(1)) ++
+        memberWaterRings.flatMap(_.dropRight(1)).filter(p => nearBbox(p._1, p._2))
+      val crossings = for {
+        (fx1, fy1, fx2, fy2) <- featSegs
+        (wx1, wy1, wx2, wy2) <- waterSegs
+        p <- segIntersect(fx1, fy1, fx2, fy2, wx1, wy1, wx2, wy2)
+      } yield p
+      val offsets = (verts ++ crossings).flatMap { case (vx, vy) =>
+        Seq((vx + d, vy + d), (vx + d, vy - d), (vx - d, vy + d), (vx - d, vy - d))
+      }
+      (grid ++ offsets)
+        .filter { case (px, py) =>
+          allSegs.forall { case (x1, y1, x2, y2) => segDist(px, py, x1, y1, x2, y2) > eps }
+        }
+        .zipWithIndex
+        .map { case ((px, py), k) => (objId, k.toLong, px, py) }
+    }
+  }
 }

@@ -28,6 +28,15 @@ import graft.functions.GeomExpressions._
   */
 object PipJoin {
 
+  /** Auto-prune rule for [[matchesPartitioned]]: enable the probe-side
+    * pre-shuffle semi-join when the build side covers less than this
+    * fraction of the join-level grid. Below it, enough probe cells are
+    * guaranteed-uncovered that dropping their pages before the shuffle
+    * beats the broadcast-semi-join's per-row cost; at ~full coverage the
+    * semi-join keeps every row and is pure overhead.
+    */
+  val PruneCoverageThreshold = 0.8
+
   /** Level band actually present in a cover table — probing only these
     * levels shrinks the page-side explode from 19 ancestors to the band in
     * use (collected once; the cover table is the small side).
@@ -131,10 +140,20 @@ object PipJoin {
     * range for the residual test. AQE's skew-join handles stragglers;
     * `salt` > 1 additionally replicates the cover side for hot cells.
     * `joinLevel <= 0` picks the level from cover stats.
+    *
+    * `pruneProbe` — probe-side pre-shuffle semi-join pruning. `None`
+    * (default) decides from cover DENSITY: count the distinct build
+    * joinCells against the level-`jl` grid (2·4^jl cells) and prune when
+    * the covered fraction is below [[PruneCoverageThreshold]] — a sparse
+    * cover means whole swaths of probe cells can only be dropped by the
+    * join, which the semi-join does BEFORE the shuffle (measured 14.8×
+    * with salt on the skewed 100 M bench, BENCH.md round 6); a dense
+    * cover makes the semi-join pure cost (every probe survives).
+    * `Some(x)` forces the choice (benchmarks, known-shape callers).
     */
   def matchesPartitioned(pages: DataFrame, covers: DataFrame, polygons: DataFrame,
                          joinLevel: Int = 0, salt: Int = 1,
-                         pruneProbe: Boolean = false): DataFrame = {
+                         pruneProbe: Option[Boolean] = None): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
     val jl = if (joinLevel > 0) joinLevel else chooseJoinLevel(covers)
@@ -159,12 +178,21 @@ object PipJoin {
         }
       }
       .toDF("relId", "layer", "joinCell", "rmin", "rmax")
-    val coverCells = coverCellsBase
-      // ONE build row per (relId, layer, joinCell): merged range list.
-      // This shuffles only the (small) dimension side, once.
+    // ONE build row per (relId, layer, joinCell): merged range list.
+    // This shuffles only the (small) dimension side, once. The distinct
+    // joinCell set below derives from THIS aggregated form, so the cover
+    // explode's exchange is shared (ReuseExchange) instead of the explode
+    // running twice (ADVICE round 6).
+    val coverAgg = coverCellsBase
       .groupBy("relId", "layer", "joinCell")
       .agg(collect_list(struct(col("rmin"), col("rmax"))).as("ranges"))
+    val coverCells = coverAgg
       .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+
+    val doPrune = pruneProbe.getOrElse {
+      val covered = coverAgg.select("joinCell").distinct().count()
+      covered.toDouble / (2.0 * math.pow(4.0, jl)) < PruneCoverageThreshold
+    }
 
     val probes0 = pages
       .withColumn("joinCell", st_cell_at(col("lon"), col("lat"), jl))
@@ -179,8 +207,8 @@ object PipJoin {
     // its 10 GB application-side scan threshold; this makes the pruning
     // unconditional. Row set unchanged (semi-join of an inner-join key).
     val probes =
-      if (!pruneProbe) probes0
-      else probes0.join(broadcast(coverCellsBase.select("joinCell").distinct()),
+      if (!doPrune) probes0
+      else probes0.join(broadcast(coverAgg.select("joinCell").distinct()),
         Seq("joinCell"), "left_semi")
 
     probes
@@ -266,7 +294,7 @@ object PipJoin {
       // pre-shuffle semi-join drop is exactly where it pays — pages in
       // hot-only cells never enter the cold shuffle
       else Some(matchesPartitioned(pages, coldOnly(covers), coldOnly(polygons), salt = salt,
-        pruneProbe = true))
+        pruneProbe = Some(true)))
     (bcastPart, shufflePart) match {
       case (Some(b), Some(s)) => b.unionByName(s)
       case (Some(b), None) => b

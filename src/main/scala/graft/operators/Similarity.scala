@@ -170,12 +170,25 @@ object Similarity {
     * heuristic), so the index grows with the data instead of pinning a
     * fixture-sized constant.
     */
-  case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+  case class IvfIndex(assigned: DataFrame, centroids: DataFrame,
+                      centroidBytes: Long = 0L)
 
   def ivfAssign(embeddings: DataFrame, nCentroids: Int, iterations: Int = 2): DataFrame =
     ivfIndex(embeddings, nCentroids, iterations).assigned
 
-  def ivfIndex(embeddings: DataFrame, nCentroids: Int = 0, iterations: Int = 2): IvfIndex = {
+  /** Centroid tables past this byte estimate (k × dim × 8) stop being
+    * broadcast: assignment switches to [[ivfIndex]]'s chunked argmax
+    * (each chunk broadcastable, winners merged by a second groupBy max —
+    * associative, so results are identical to the single-pass form) and
+    * probing flips the broadcast side (queries are the small side at
+    * planet scale, the centroid table is scanned distributed). 10⁶
+    * centroids × 128 dims ≈ 1 GB would otherwise broadcast to every
+    * executor.
+    */
+  val CentroidBroadcastBytes: Long = 64L << 20
+
+  def ivfIndex(embeddings: DataFrame, nCentroids: Int = 0, iterations: Int = 2,
+               centroidBroadcastBytes: Long = CentroidBroadcastBytes): IvfIndex = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val emb = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
@@ -183,15 +196,39 @@ object Similarity {
     val k =
       if (nCentroids > 0) nCentroids
       else math.max(16, math.sqrt(emb.count().toDouble).toInt)
+    val dim = emb.select(size(col("vec"))).limit(1).as[Int].collect()
+      .headOption.getOrElse(0)
+    val centroidBytes = k.toLong * dim * 8
 
     def assign(centroids: DataFrame): DataFrame =
-      emb.crossJoin(broadcast(centroids))
-        .withColumn("csim", cosine(col("vec"), col("cvec")))
-        // argmax by (csim desc, centroid_id asc): lexicographic struct max
-        .groupBy("vec_id")
-        .agg(first(col("vec")).as("vec"),
-          max(struct(col("csim"), (-col("centroid_id")).as("nid"))).as("best"))
-        .select(col("vec_id"), col("vec"), (-col("best.nid")).as("centroid_id"))
+      if (centroidBytes <= centroidBroadcastBytes) {
+        emb.crossJoin(broadcast(centroids))
+          .withColumn("csim", cosine(col("vec"), col("cvec")))
+          // argmax by (csim desc, centroid_id asc): lexicographic struct max
+          .groupBy("vec_id")
+          .agg(first(col("vec")).as("vec"),
+            max(struct(col("csim"), (-col("centroid_id")).as("nid"))).as("best"))
+          .select(col("vec_id"), col("vec"), (-col("best.nid")).as("centroid_id"))
+      } else {
+        // non-broadcastable centroid table: split it into broadcastable
+        // chunks by centroid_id mod, take each vector's best per chunk
+        // (map-side partial agg per pass), then the global argmax as a
+        // second groupBy max. The struct max is associative, so this is
+        // bit-identical to the single-pass argmax; cost is one scan of
+        // `emb` (cached) per chunk instead of one total.
+        val nChunks = math.min(k.toLong,
+          math.ceil(centroidBytes.toDouble / centroidBroadcastBytes).toLong).toInt
+        val bests = (0 until nChunks).map { i =>
+          emb.crossJoin(broadcast(
+              centroids.filter(pmod(col("centroid_id"), lit(nChunks)) === i)))
+            .withColumn("csim", cosine(col("vec"), col("cvec")))
+            .groupBy("vec_id")
+            .agg(max(struct(col("csim"), (-col("centroid_id")).as("nid"))).as("best"))
+        }.reduce(_ unionByName _)
+        bests.groupBy("vec_id").agg(max(col("best")).as("best"))
+          .join(emb, Seq("vec_id"))
+          .select(col("vec_id"), col("vec"), (-col("best.nid")).as("centroid_id"))
+      }
 
     var centroids = emb.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
@@ -220,7 +257,7 @@ object Similarity {
       // whole history — O(iterations²) work
       assigned = assign(centroids).localCheckpoint()
     }
-    IvfIndex(assigned, centroids)
+    IvfIndex(assigned, centroids, centroidBytes)
   }
 
   /** IVF top-k: probe the `nProbe` nearest centroid lists per query, exact
@@ -231,16 +268,29 @@ object Similarity {
               nCentroids: Int = 0, nProbe: Int = 4): DataFrame =
     probeWithIndex(ivfIndex(embeddings, nCentroids), queryIds, k, nProbe)
 
-  private def probeWithIndex(index: IvfIndex, queryIds: Seq[Long], k: Int,
+  private[operators] def probeWithIndex(index: IvfIndex, queryIds: Seq[Long], k: Int,
                              nProbe: Int): DataFrame = {
-    val assigned = index.assigned.cache()
+    // index.assigned arrives localCheckpoint-ed (materialized, lineage-
+    // free) from ivfIndex, so the two scans below are cheap re-reads —
+    // no extra cache() whose unpersist point would be unsound on a lazy
+    // result (ADVICE round 6)
+    val assigned = index.assigned
     val centroids = index.centroids
       .select(col("centroid_id").as("c_id"), col("cvec"))
     val queries = assigned.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
 
+    // small centroid table: broadcast it under the few-or-many queries.
+    // Past the broadcast budget, flip the sides — the QUERY set is the
+    // small side at planet scale; the centroid table is scanned
+    // distributed and the per-query ranking shuffles ≤ nCentroids × |q|
+    // tiny rows.
+    val qXc =
+      if (index.centroidBytes <= CentroidBroadcastBytes)
+        queries.crossJoin(broadcast(centroids))
+      else centroids.crossJoin(broadcast(queries))
     val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("c_id"))
-    val probed = queries.crossJoin(broadcast(centroids))
+    val probed = qXc
       .withColumn("csim", cosine(col("qvec"), col("cvec")))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe)
@@ -266,45 +316,71 @@ object Similarity {
     * scalars. Sampling is xxhash64-spread (NOT lowest vec_ids — those
     * seed the centroids, which would bias depths optimistic).
     */
-  def probeDepths(index: IvfIndex, k: Int, sampleSize: Int = 64): Array[Int] = {
+  def probeDepths(index: IvfIndex, k: Int, sampleSize: Int = 64,
+                  tableFraction: Double = 1.0): Array[Int] = {
+    require(tableFraction > 0 && tableFraction <= 1,
+      s"tableFraction $tableFraction not in (0, 1]")
     val assigned = index.assigned.cache()
-    val sample = assigned
-      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleSize)
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-    val sampleN = withNorm(sample, "qvec", "qnrm")
-    val embN = withNorm(assigned.select(col("vec_id"), col("vec")), "vec", "nrm")
+    try {
+      val sample = assigned
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleSize)
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+      val sampleN = withNorm(sample, "qvec", "qnrm")
+      // tableFraction < 1: the brute pass scores the sample against a
+      // deterministic hash sample of the TABLE instead of all of it —
+      // at 10⁹⁺ rows the full sample × table cross join is the
+      // calibration's own scale ceiling. A uniform hash sample preserves
+      // each centroid list's share in expectation, so the sampled
+      // neighbors' DEPTH distribution estimates the full one; the recall
+      // sweep (tools.IvfRecallSweep) measures that the target still
+      // holds. The hash salt is fixed → reproducible.
+      val tbl =
+        if (tableFraction >= 1.0) assigned
+        else assigned.filter(
+          pmod(xxhash64(col("vec_id"), lit(1013)), lit(1000000L)) <
+            math.round(tableFraction * 1e6))
+      val embN = withNorm(tbl.select(col("vec_id"), col("vec")), "vec", "nrm")
 
-    val wTrue = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    val trueTopK = embN.crossJoin(broadcast(sampleN))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", round(cosineFromParts(
-        dot(col("qvec"), col("vec")), col("qnrm"), col("nrm")), 6))
-      .withColumn("rank", row_number().over(wTrue))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"))
+      val wTrue = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+      val trueTopK = embN.crossJoin(broadcast(sampleN))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos", round(cosineFromParts(
+          dot(col("qvec"), col("vec")), col("qnrm"), col("nrm")), 6))
+        .withColumn("rank", row_number().over(wTrue))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("vec_id"))
 
-    val centroids = index.centroids.select(col("centroid_id"), col("cvec"))
-    val wRank = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("centroid_id"))
-    val centroidRank = sample.crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("qvec"), col("cvec")))
-      .withColumn("crank", row_number().over(wRank))
-      .select(col("query_id"), col("centroid_id"), col("crank"))
+      val centroids = index.centroids.select(col("centroid_id"), col("cvec"))
+      val wRank = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("centroid_id"))
+      // same broadcast-side flip as probeWithIndex: past the budget the
+      // centroid table is scanned distributed under the broadcast sample
+      val sXc =
+        if (index.centroidBytes <= CentroidBroadcastBytes)
+          sample.crossJoin(broadcast(centroids))
+        else centroids.crossJoin(broadcast(sample))
+      val centroidRank = sXc
+        .withColumn("csim", cosine(col("qvec"), col("cvec")))
+        .withColumn("crank", row_number().over(wRank))
+        .select(col("query_id"), col("centroid_id"), col("crank"))
 
-    trueTopK
-      .join(assigned.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
-      .join(centroidRank, Seq("query_id", "centroid_id"))
-      .select(col("crank")).collect().map(_.getInt(0))
+      trueTopK
+        .join(assigned.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+        .join(centroidRank, Seq("query_id", "centroid_id"))
+        .select(col("crank")).collect().map(_.getInt(0))
+    } finally assigned.unpersist() // depths are collected; drop the blocks
   }
 
-  /** Smallest nProbe whose sampled recall meets `recallTarget` (full
-    * probe when even that can't — depth array empty or target > 1 never
-    * happens for targets ≤ 1 since max depth covers everything).
+  /** Smallest nProbe whose sampled recall meets `recallTarget`. Degenerate
+    * empty depth sample (a table too small for the brute pass to produce
+    * any true neighbor) → FULL probe (every centroid list): recall can't
+    * be certified from nothing, so the honest fallback is exhaustive —
+    * and a table that small makes exhaustive free.
     */
   def autoNProbe(index: IvfIndex, k: Int, recallTarget: Double,
-                 sampleSize: Int = 64): Int = {
+                 sampleSize: Int = 64, tableFraction: Double = 1.0): Int = {
     require(recallTarget > 0 && recallTarget <= 1, s"recallTarget $recallTarget not in (0, 1]")
-    val depths = probeDepths(index, k, sampleSize)
-    if (depths.isEmpty) 1
+    val depths = probeDepths(index, k, sampleSize, tableFraction)
+    if (depths.isEmpty) math.max(1, index.centroids.count().toInt)
     else {
       val sorted = depths.sorted
       // smallest p with |{depth <= p}| / n >= target: the depth at the
@@ -316,13 +392,15 @@ object Similarity {
   /** IVF top-k at a RECALL TARGET instead of a hand-tuned probe width:
     * builds the index once, calibrates nProbe from the measured sampled
     * depth distribution, probes with it. Returns (results, chosen
-    * nProbe) so callers can log/pin the calibration.
+    * nProbe) so callers can log/pin the calibration. `tableFraction < 1`
+    * samples the table side of the calibration brute pass (the at-scale
+    * form; see [[probeDepths]]).
     */
   def ivfTopKAuto(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
                   recallTarget: Double, nCentroids: Int = 0,
-                  sampleSize: Int = 64): (DataFrame, Int) = {
+                  sampleSize: Int = 64, tableFraction: Double = 1.0): (DataFrame, Int) = {
     val index = ivfIndex(embeddings, nCentroids)
-    val nProbe = autoNProbe(index, k, recallTarget, sampleSize)
+    val nProbe = autoNProbe(index, k, recallTarget, sampleSize, tableFraction)
     (probeWithIndex(index, queryIds, k, nProbe), nProbe)
   }
 }

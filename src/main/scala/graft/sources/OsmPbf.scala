@@ -418,21 +418,30 @@ object OsmPbf {
           e: java.util.Map.Entry[(String, Long, Long, Long), Seq[BlobRange]]): Boolean = size() > 16
     }
 
-  /** FNV-1a over the file's first 64 bytes (covers the first BlobHeader):
-    * folded into the driver cache keys so a same-length rewrite inside one
-    * coarse-mtime tick (1 s ext4 configs, 2 s FAT, some object stores)
-    * still re-indexes instead of serving stale blob offsets. One 64-byte
-    * positioned read per cache lookup — noise next to the pass itself.
+  /** FNV-1a over the file's first AND last 64 bytes (the head covers the
+    * first BlobHeader; the tail covers the final blob's data, so a
+    * same-length rewrite that edits only blob payloads past the header —
+    * appending-rewriter patterns — changes the probe too): folded into
+    * the driver cache keys so a rewrite inside one coarse-mtime tick
+    * (1 s ext4 configs, 2 s FAT, some object stores) still re-indexes
+    * instead of serving stale blob offsets. A same-length rewrite whose
+    * edits all land strictly BETWEEN the two windows remains undetectable
+    * by design — full-content hashing would cost a whole extra pass. Two
+    * 64-byte positioned reads per cache lookup — noise next to the pass.
     */
   private def contentProbe(path: String, len: Long): Long = {
+    def fnv(h0: Long, b: Array[Byte]): Long = {
+      var h = h0
+      var i = 0
+      while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+      h
+    }
     val n = math.min(64L, len).toInt
     if (n <= 0) 0L
     else {
-      val b = FsIO.readFullyAt(path, 0L, n)
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < n) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
-      h
+      val head = fnv(0xcbf29ce484222325L, FsIO.readFullyAt(path, 0L, n))
+      if (len <= 64L) head
+      else fnv(head, FsIO.readFullyAt(path, len - n, n))
     }
   }
 
@@ -482,19 +491,27 @@ object OsmPbf {
   private final class KindState {
     val accs = scala.collection.mutable.Buffer.empty[org.apache.spark.util.CollectionAccumulator[(Long, Int)]]
     val merged = scala.collection.mutable.HashMap.empty[Long, Int]
-    /** Merge every registered accumulator's current snapshot. Does NOT
-      * drop the accumulators: a construct-all-then-run caller registers
-      * three recording Datasets before any job runs, and clearing here
-      * would permanently discard their still-empty accumulators — the
-      * kind data they later record would never merge and the
-      * optimization would silently never engage. Re-merging the same
-      * snapshot is idempotent (OR). [[release]] drops the references
-      * only once coverage is complete (no pass registers after that, and
-      * dropping lets the weakly-held accumulators GC so re-executed
-      * Datasets stop growing driver state).
+    /** Merge every registered accumulator's current snapshot, then DRAIN
+      * it (reset): once a tuple is OR-ed into `merged` the accumulator
+      * copy is redundant, and draining bounds driver state at one
+      * execution's worth per recording Dataset — a pre-coverage Dataset
+      * re-executed N times no longer accretes N·n_blobs tuples that no
+      * reader would ever drop (ADVICE round 6). Does NOT drop the
+      * accumulators themselves: a construct-all-then-run caller registers
+      * three recording Datasets before any job runs, and clearing the
+      * registry here would permanently discard their still-empty
+      * accumulators. A task update landing between the value snapshot and
+      * the reset is lost from both — harmless by the coverage contract:
+      * filtering only ever engages from COMPLETE blob coverage, and an
+      * incomplete `merged` just means the next pass full-scans and
+      * re-records. [[release]] drops the references once coverage is
+      * complete (no pass registers after that).
       */
     def fold(): Unit =
-      accs.foreach(_.value.forEach(e => merged.update(e._1, merged.getOrElse(e._1, 0) | e._2)))
+      accs.foreach { a =>
+        a.value.forEach(e => merged.update(e._1, merged.getOrElse(e._1, 0) | e._2))
+        a.reset()
+      }
     def release(): Unit = accs.clear()
   }
 

@@ -65,6 +65,23 @@ object IvfRecallSweep {
           f"auto-nProbe calibration missed beyond sampling slack: " +
             f"measured $recall%.4f < target $target%.2f - 0.02")
       }
+      // table-side-sampled calibration (the 10⁹⁺-row form: the brute pass
+      // scores the query sample against a hash sample of the table
+      // instead of all of it) must still deliver the target
+      for (target <- Seq(0.85, 0.95); frac <- Seq(0.25)) {
+        val t0 = System.nanoTime()
+        val (df, chosen) = Similarity.ivfTopKAuto(emb, queries, k, target,
+          tableFraction = frac)
+        val got = df.select("query_id", "vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val secs = (System.nanoTime() - t0) / 1e9
+        val recall = got.intersect(brute).size.toDouble / brute.size
+        println(f"auto(target=$target%.2f, tableFraction=$frac%.2f) -> nProbe=$chosen%3d  " +
+          f"recall=$recall%.4f  strictly_met=${recall >= target}%b  $secs%6.2f s")
+        require(recall >= target - 0.02,
+          f"table-sampled calibration missed beyond sampling slack: " +
+            f"measured $recall%.4f < target $target%.2f - 0.02 (frac $frac)")
+      }
     } finally spark.stop()
   }
 }

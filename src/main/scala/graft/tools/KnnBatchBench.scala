@@ -13,18 +13,37 @@ import graft.operators.Knn
   * jittered, so every query sits near data and the ring search
   * converges in a few rounds.
   *
+  * Round 7 adds the window-vs-partial-top-k A/B (the per-round best-k
+  * used to shuffle EVERY candidate row through a rank window; the
+  * bounded partial+final aggregation ships ≤ k rows per query per map
+  * task) and reports total shuffle bytes written per variant via a
+  * task-metrics listener.
+  *
   * Usage: SPARK_GRAFT_REPLICATE=20000 SPARK_GRAFT_QUERIES=100000 \
-  *          sbt "runMain graft.tools.KnnBatchBench"
+  *          sbt "runMain graft.tools.KnnBatchBench" [variants]
+  * variants: comma list of partial,window,pruned (default all three)
   */
 object KnnBatchBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "20000").toInt
     val nQ = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "100000").toInt
+    val variants = args.headOption.map(_.split(",").toSet)
+      .getOrElse(Set("partial", "window", "pruned"))
     val k = 10
     val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val pages = spark.read.parquet(Bench.pagesTable(spark, sfDir, replicate))
     val nPages = pages.count()
+
+    // shuffle-volume accounting: task-level write metrics summed across
+    // the variant's jobs (reset between variants)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
 
     val queries = pages
       .orderBy(xxhash64(col("url"))).limit(nQ)
@@ -35,15 +54,24 @@ object KnnBatchBench {
     queries.count()
 
     def time(label: String)(f: => Long): Unit = {
+      shuffleBytes.set(0L)
       val t0 = System.nanoTime()
       val rows = f
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"$label%-28s $secs%8.2f s  rows=$rows%d (${nQ / secs}%.0f queries/s)")
+      // listener events drain asynchronously; give the bus a beat to
+      // settle before reading (listenerBus is spark-private; 2 s covers
+      // the default 1 s poll comfortably at these job sizes)
+      Thread.sleep(2000)
+      val gb = shuffleBytes.get() / 1e9
+      println(f"$label%-28s $secs%8.2f s  rows=$rows%d (${nQ / secs}%.0f queries/s, shuffleWrite=$gb%.2f GB)")
     }
-    time(s"knnBatch $nQ q x $nPages pts") {
+    if (variants("partial")) time(s"knnBatch partial $nQ q") {
       Knn.knnBatch(pages, queries, k, level = 14).count()
     }
-    time(s"knnBatch pruned (pcell 6)") {
+    if (variants("window")) time(s"knnBatch window  $nQ q") {
+      Knn.knnBatch(pages, queries, k, level = 14, partialTopK = false).count()
+    }
+    if (variants("pruned")) time(s"knnBatch pruned (pcell 6)") {
       Knn.knnBatch(pages, queries, k, level = 14, partitionLevel = 6).count()
     }
     spark.stop()

@@ -156,9 +156,9 @@ object PipStrategyBench {
     // probe-side pre-shuffle pruning: pages in cover-free cells (most of
     // the uniform-global 40/60 remainder) drop before the shuffle
     val fp1P = withForcedShuffle(withAqe(false)(bench("partitioned salt=1   prune AQE off",
-      PipJoin.matchesPartitioned(skewed, covers, broadcast(polys), salt = 1, pruneProbe = true))))
+      PipJoin.matchesPartitioned(skewed, covers, broadcast(polys), salt = 1, pruneProbe = Some(true)))))
     val fpSP = withForcedShuffle(withAqe(false)(bench(s"partitioned salt=$salt  prune AQE off",
-      PipJoin.matchesPartitioned(skewed, covers, broadcast(polys), salt = salt, pruneProbe = true))))
+      PipJoin.matchesPartitioned(skewed, covers, broadcast(polys), salt = salt, pruneProbe = Some(true)))))
     require(Set(fp1, fpS, fpA, fpSA, fp1P, fpSP).size == 1,
       s"salt/AQE variants disagree: $fp1 $fpS $fpA $fpSA $fp1P $fpSP")
     println("rows identical across all salt/AQE variants")

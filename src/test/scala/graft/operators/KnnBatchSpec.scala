@@ -53,6 +53,13 @@ class KnnBatchSpec extends SparkTestBase {
     val viaPruned = Knn.knnBatch(pages, qdf, k, partitionLevel = 4)
       .select("queryId", "rank", "url").as[(String, Long, String)].collect().toSet
     assert(viaPruned == viaBatch, "pcell-pruned batch path diverged")
+
+    // the per-round window form (partialTopK=false) and the bounded
+    // partial+final top-k aggregation share the (dist, url) order — rows
+    // must be identical
+    val viaWindow = Knn.knnBatch(pages, qdf, k, partialTopK = false)
+      .select("queryId", "rank", "url").as[(String, Long, String)].collect().toSet
+    assert(viaWindow == viaBatch, "window-form best-k diverged from partial top-k")
     pages.unpersist()
   }
 

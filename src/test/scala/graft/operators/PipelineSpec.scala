@@ -85,7 +85,7 @@ class PipelineSpec extends SparkTestBase {
     // probe-side pre-shuffle pruning is a semi-join on an inner-join key:
     // rows must be untouched
     val e = PipJoin.matchesPartitioned(pages, covers, polys, joinLevel = 8, salt = 4,
-      pruneProbe = true)
+      pruneProbe = Some(true))
       .as[(String, String, Long)].collect().toSeq.sorted
     assert(a == a.distinct, "broadcast strategy emitted duplicate (url,layer,relId) rows")
     assert(a == b && a == c && a == d && a == e)

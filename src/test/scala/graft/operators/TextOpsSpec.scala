@@ -285,6 +285,40 @@ class TextOpsSpec extends SparkTestBase {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("IVF non-broadcast centroid paths: chunked assign and flipped probe match the defaults") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").filter(col("vec_id") < 300)
+    // chunked assignment (centroid table "too big to broadcast"): a 1-byte
+    // budget forces one chunk per centroid; the per-chunk argmax merged by
+    // a second groupBy max must equal the single-pass argmax exactly
+    val chunked = Similarity.ivfIndex(emb, nCentroids = 8, centroidBroadcastBytes = 1L)
+    val plain = Similarity.ivfIndex(emb, nCentroids = 8)
+    val aChunked = chunked.assigned.select("vec_id", "centroid_id")
+      .as[(Long, Long)].collect().toSet
+    val aPlain = plain.assigned.select("vec_id", "centroid_id")
+      .as[(Long, Long)].collect().toSet
+    assert(aChunked == aPlain, "chunked centroid assignment diverged from single-pass")
+    // flipped probe broadcast (centroids scanned distributed under a
+    // broadcast query set): doctor the byte estimate past the budget
+    val flipped = plain.copy(centroidBytes = Long.MaxValue)
+    val viaFlip = Similarity.probeWithIndex(flipped, 0L to 4L, 5, nProbe = 3)
+      .select("query_id", "rank", "vec_id").as[(Long, Long, Long)].collect().toSet
+    val viaBcast = Similarity.probeWithIndex(plain, 0L to 4L, 5, nProbe = 3)
+      .select("query_id", "rank", "vec_id").as[(Long, Long, Long)].collect().toSet
+    assert(viaFlip == viaBcast, "flipped-broadcast probe diverged")
+    // table-sampled calibration (the 10⁹⁺-row form of probeDepths): the
+    // chosen width stays in range and auto results still meet recall on
+    // real queries at fixture scale
+    val (auto, chosen) = Similarity.ivfTopKAuto(emb, 0L to 4L, 5,
+      recallTarget = 0.9, nCentroids = 8, tableFraction = 0.5)
+    val nCentroids = plain.centroids.count().toInt
+    assert(chosen >= 1 && chosen <= nCentroids)
+    val brute = Similarity.bruteForceTopK(emb, 0L to 4L, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val autoSet = auto.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(autoSet).size.toDouble / brute.size
+    assert(recall >= 0.8, s"measured recall $recall with table-sampled calibration")
+  }
+
   test("auto-nProbe: calibrated width meets the recall target; monotone in the target") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val index = Similarity.ivfIndex(emb)

@@ -194,9 +194,18 @@ object OscDiff {
   }
 
   private def readKind(spark: SparkSession, dir: String, kind: String): DataFrame = {
-    import spark.implicits._
     val files = seqFiles(dir)
     require(files.nonEmpty, s"no .osc.gz sequence files under $dir")
+    readKindFiles(spark, files, kind)
+  }
+
+  /** readKind over an EXPLICIT (seq, path) file set — the micro-batch
+    * replication loop ([[graft.streaming.OscStream]]) parses exactly the
+    * batch's files instead of re-listing the directory.
+    */
+  private[graft] def readKindFiles(spark: SparkSession,
+                                   files: Seq[(Long, String)], kind: String): DataFrame = {
+    import spark.implicits._
     val parts = math.min(spark.sparkContext.defaultParallelism, files.length)
     val ds = spark.createDataset(
       spark.sparkContext.parallelize(files, parts)

@@ -83,12 +83,16 @@ class PipelineSpec extends SparkTestBase {
     val d = PipJoin.matchesIndexed(pages, covers, polys)
       .as[(String, String, Long)].collect().toSeq.sorted
     // probe-side pre-shuffle pruning is a semi-join on an inner-join key:
-    // rows must be untouched
+    // rows must be untouched, forced on, forced off, and in the
+    // cover-density auto mode (b/c above run auto = the default)
     val e = PipJoin.matchesPartitioned(pages, covers, polys, joinLevel = 8, salt = 4,
       pruneProbe = Some(true))
       .as[(String, String, Long)].collect().toSeq.sorted
+    val f = PipJoin.matchesPartitioned(pages, covers, polys, joinLevel = 8, salt = 4,
+      pruneProbe = Some(false))
+      .as[(String, String, Long)].collect().toSeq.sorted
     assert(a == a.distinct, "broadcast strategy emitted duplicate (url,layer,relId) rows")
-    assert(a == b && a == c && a == d && a == e)
+    assert(a == b && a == c && a == d && a == e && a == f)
   }
 
   test("partitioned strategy property: RANDOM joinLevel × salt all equal broadcast rows") {

@@ -30,18 +30,37 @@ object KnnBatchBench {
     val nQ = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "100000").toInt
     val variants = args.headOption.map(_.split(",").toSet)
       .getOrElse(Set("partial", "window", "pruned"))
+    // index level: 14 keeps city cells ~10³ (the converge-fast shape);
+    // lower levels make cells DENSE (10⁴-10⁵ points) — the shape where
+    // the bounded partial top-k is supposed to beat the rank window
+    val level = sys.env.getOrElse("SPARK_GRAFT_LEVEL", "14").toInt
     val k = 10
     val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val pages = spark.read.parquet(Bench.pagesTable(spark, sfDir, replicate))
     val nPages = pages.count()
 
     // shuffle-volume accounting: task-level write metrics summed across
-    // the variant's jobs (reset between variants)
+    // the variant's jobs (reset between variants). byCallsite attributes
+    // each stage's shuffle write to its code line (stage details carry
+    // the call site) so the A/B can say WHICH exchange the bytes belong
+    // to, not just the total.
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    val byCallsite = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
         if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+      override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val w = si.taskMetrics.shuffleWriteMetrics.bytesWritten
+        if (w > 0) {
+          val site = si.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("tools."))
+            .getOrElse(si.name).trim
+          byCallsite.computeIfAbsent(site, _ => new java.util.concurrent.atomic.AtomicLong())
+            .addAndGet(w)
+        }
       }
     })
 
@@ -53,8 +72,10 @@ object KnnBatchBench {
       .cache()
     queries.count()
 
+    val diag = sys.env.get("SPARK_GRAFT_DIAG").contains("1")
     def time(label: String)(f: => Long): Unit = {
       shuffleBytes.set(0L)
+      byCallsite.clear()
       val t0 = System.nanoTime()
       val rows = f
       val secs = (System.nanoTime() - t0) / 1e9
@@ -64,15 +85,21 @@ object KnnBatchBench {
       Thread.sleep(2000)
       val gb = shuffleBytes.get() / 1e9
       println(f"$label%-28s $secs%8.2f s  rows=$rows%d (${nQ / secs}%.0f queries/s, shuffleWrite=$gb%.2f GB)")
+      if (diag) {
+        import scala.jdk.CollectionConverters._
+        byCallsite.asScala.toSeq.sortBy(-_._2.get()).foreach { case (site, b) =>
+          println(f"    ${b.get() / 1e9}%8.3f GB  $site")
+        }
+      }
     }
     if (variants("partial")) time(s"knnBatch partial $nQ q") {
-      Knn.knnBatch(pages, queries, k, level = 14).count()
+      Knn.knnBatch(pages, queries, k, level = level).count()
     }
     if (variants("window")) time(s"knnBatch window  $nQ q") {
-      Knn.knnBatch(pages, queries, k, level = 14, partialTopK = false).count()
+      Knn.knnBatch(pages, queries, k, level = level, partialTopK = false).count()
     }
     if (variants("pruned")) time(s"knnBatch pruned (pcell 6)") {
-      Knn.knnBatch(pages, queries, k, level = 14, partitionLevel = 6).count()
+      Knn.knnBatch(pages, queries, k, level = level, partitionLevel = 6).count()
     }
     spark.stop()
   }

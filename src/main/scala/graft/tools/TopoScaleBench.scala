@@ -96,6 +96,7 @@ object TopoScaleBench {
       secs
     }
 
+    run(gTop / 2, 0, "warmup (discard)") // JIT + codegen warm; not timed
     val tSmall = run(gTop / 2, 0, "topology raw")
     val tBig = run(gTop, 0, "topology raw")
     val tBigQ = run(gTop, 1e6, "topology quantized 1e6")

@@ -118,11 +118,18 @@ object OscDiff {
     * `ord` is the element's document position within its file — together
     * with seq it defines the apply order.
     */
-  private case class Parsed(seq: Long, ord: Long, action: String,
-                            id: Long, lat: Double, lon: Double,
-                            refs: Seq[Long],
-                            tags: Map[String, String],
-                            members: Seq[(Long, Int, String)])
+  // private[sources], not private: a Scala-`private` nested class emits
+  // JVM-private access that Janino-generated serializer code cannot
+  // reference — every Dataset[Parsed] stage then logs a CodeGenerator
+  // compile error and falls back to interpreted execution. The
+  // package-qualified form erases to public bytecode, keeping the rows
+  // inside whole-stage codegen, while staying invisible outside the
+  // sources package at compile time.
+  private[sources] case class Parsed(seq: Long, ord: Long, action: String,
+                                     id: Long, lat: Double, lon: Double,
+                                     refs: Seq[Long],
+                                     tags: Map[String, String],
+                                     members: Seq[(Long, Int, String)])
 
   /** Streams the gzipped XML straight off the FileSystem — no whole-file
     * buffer, no 2 GB Int ceiling. The PARSED rows of one file are

@@ -33,8 +33,10 @@ final class TopKBuf(val k: Int) {
     d < di || (d == di && u.compareTo(urls(i)) < 0)
   }
 
-  /** Insert keeping ascending (dist, url) order, bounded at k.
-    * `u` must already be safe to retain (cloned off any shared buffer). */
+  /** Insert keeping ascending (dist, url) order, bounded at k. `u` may
+    * alias shared task memory (an unsafe-row slice): it is compared
+    * as-is and CLONED only on acceptance, so the dominant rejected-row
+    * path allocates nothing. */
   def insert(d: Double, u: UTF8String): Unit = {
     if (n == k && !less(d, u, n - 1)) return
     var idx = n
@@ -49,7 +51,7 @@ final class TopKBuf(val k: Int) {
     while (j > idx) {
       dists(j) = dists(j - 1); urls(j) = urls(j - 1); j -= 1
     }
-    if (idx < k) { dists(idx) = d; urls(idx) = u; if (n < k) n += 1 }
+    if (idx < k) { dists(idx) = d; urls(idx) = u.clone(); if (n < k) n += 1 }
   }
 }
 
@@ -70,9 +72,7 @@ case class TopKByDist(dist: Expression, url: Expression, k: Int,
     val d = dist.eval(input)
     val u = url.eval(input)
     if (d != null && u != null) {
-      // UTF8String from an unsafe row aliases shared task memory; clone
-      // before retaining it across rows
-      buf.insert(d.asInstanceOf[Double], u.asInstanceOf[UTF8String].clone())
+      buf.insert(d.asInstanceOf[Double], u.asInstanceOf[UTF8String])
     }
     buf
   }

@@ -270,7 +270,10 @@ final class TopoServer(
   // ------------------------------------------------------------------
 
   private val server: HttpServer = HttpServer.create(new InetSocketAddress(port), 0)
-  server.setExecutor(Executors.newFixedThreadPool(4))
+  // non-daemon pool: must be shut down in stop() or it pins the JVM
+  // (DestroyJavaVM waits on live non-daemon threads after main returns)
+  private val executor = Executors.newFixedThreadPool(4)
+  server.setExecutor(executor)
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -420,6 +423,7 @@ final class TopoServer(
 
   def stop(): Unit = {
     server.stop(0)
+    executor.shutdown()
     covers.unpersist()
   }
 }

@@ -114,18 +114,42 @@ final class TopoServer(
     coords.map(c => (c.key, c.lon, c.lat)).toDF("url", "lon", "lat")
   }
 
+  // Curated dim + covers, cached per curated-set version (the
+  // reference's rebuilt `e.topologies` lookup, env.go loadTopologies):
+  // /api/coordinate and /api/missing hit these on every request, and
+  // recomputing the cover expansion per request would dominate their
+  // latency. /api/add bumps the version; the stale pair unpersists.
+  private var curatedCacheVersion = -1
+  private var curatedCache: Option[(DataFrame, DataFrame)] = None
+  @volatile private var curatedVersion = 0
+
+  private def curatedLookup(): Option[(DataFrame, DataFrame)] = lock.synchronized {
+    val cur = curated
+    val pairs = cur.toSeq.flatMap { case (l, ids) => ids.map(id => (l, id)) }
+    if (pairs.isEmpty) return None
+    if (curatedCacheVersion != curatedVersion) {
+      curatedCache.foreach { case (d, c) => d.unpersist(); c.unpersist() }
+      import spark.implicits._
+      val curDim = polygons.join(
+        broadcast(pairs.toDF("c_layer", "c_relId")),
+        col("layer") === col("c_layer") && col("relId") === col("c_relId"), "leftsemi")
+        .cache()
+      curatedCache = Some((curDim, Ingest.cellCovers(curDim).cache()))
+      curatedCacheVersion = curatedVersion
+    }
+    curatedCache
+  }
+
   /** Per-layer matches of probe coordinates against the CURATED polygon
     * subset (the reference's `e.topologies` lookup) — one Spark job for
     * the whole probe batch. Returns url -> layer -> (relId, name). */
   private def curatedMatches(coords: Seq[MissingCoord]): Map[String, Map[String, (Long, String)]] = {
-    val cur = lock.synchronized(curated)
-    val pairs = cur.toSeq.flatMap { case (l, ids) => ids.map(id => (l, id)) }
-    if (pairs.isEmpty || coords.isEmpty) return Map.empty
-    import spark.implicits._
-    val curDim = polygons.join(
-      broadcast(pairs.toDF("c_layer", "c_relId")),
-      col("layer") === col("c_layer") && col("relId") === col("c_relId"), "leftsemi")
-    val withName = PipJoin.matches(probeDf(coords), Ingest.cellCovers(curDim), curDim)
+    if (coords.isEmpty) return Map.empty
+    val (curDim, curCovers) = curatedLookup() match {
+      case None => return Map.empty
+      case Some(p) => p
+    }
+    val withName = PipJoin.matches(probeDf(coords), curCovers, curDim)
       .join(broadcast(polygons.select(col("relId"), col("layer").as("p_layer"), col("name"))),
         Seq("relId"))
       .filter(col("layer") === col("p_layer"))
@@ -378,8 +402,10 @@ final class TopoServer(
           val node = root.get(cfg.id)
           if (node != null) {
             val id = node.asLong()
-            if (!curated.getOrElse(cfg.id, Vector.empty).contains(id))
+            if (!curated.getOrElse(cfg.id, Vector.empty).contains(id)) {
               curated = curated.updated(cfg.id, curated.getOrElse(cfg.id, Vector.empty) :+ id)
+              curatedVersion += 1 // invalidates the cached curated lookup
+            }
           }
         }
         persistState()
@@ -425,6 +451,10 @@ final class TopoServer(
     server.stop(0)
     executor.shutdown()
     covers.unpersist()
+    lock.synchronized {
+      curatedCache.foreach { case (d, c) => d.unpersist(); c.unpersist() }
+      curatedCache = None
+    }
   }
 }
 

@@ -23,9 +23,15 @@ object SparkEntry {
   val driverTables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** View registration rides the Fixtures parquet-plan memo: the 10
+    * `spark.read.parquet` metadata reads here cost ~0.8 s per call
+    * (tools.OverheadProbe) and were paid by EVERY SQL-backed query.
+    * The memo reuses the lazy plan (file list + schema) per (session,
+    * path, content stamp) — no rows cached, regeneration re-listed.
+    */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
     driverTables.foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+      Fixtures.readParquet(spark, s"$sfDir/$t.parquet").createOrReplaceTempView(t)
     }
 
   // ---- shared SQL (Spark + DuckDB) ---------------------------------------
@@ -673,6 +679,19 @@ object SparkEntry {
     PipJoin.matches(Fixtures.pages(spark, sfDir), covers, polys)
   }
 
+  /** The broadcast-index probe over the same dims — row-identical to
+    * pipMatches (PipelineSpec pins all strategies equal) but ~2× faster
+    * on the page scan (BENCH.md strategy table). Round 8: queries whose
+    * SUBJECT is an operator ON TOP of the match table (per-layer pivot,
+    * completeness anti-join, suggestions) build their input through the
+    * documented hot path; q_pip_spatial itself stays on `matches` — the
+    * Catalyst broadcast-join strategy IS that query's subject.
+    */
+  private def pipMatchesIndexed(spark: SparkSession, sfDir: String): DataFrame = {
+    val (polys, covers) = dims(spark)
+    PipJoin.matchesIndexed(Fixtures.pages(spark, sfDir), covers, polys)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * full ingest → cover index → PIP join → per-layer match counts.
     */
@@ -767,7 +786,7 @@ object SparkEntry {
             s.read.parquet(outW).write.mode("overwrite").parquet(s"$work/final")
           }
         }
-        s.read.parquet(s"$root/final")
+        Fixtures.readParquet(s, s"$root/final")
       }),
       // J5 hybrid: hot relations broadcast within a byte budget, tail
       // shuffled — budget forced small so both paths run at sf scale
@@ -785,11 +804,11 @@ object SparkEntry {
       }),
       // J7: matched-per-layer pivot (one row per url, min relId per layer)
       "q_pip_per_layer" -> ((s, dir) =>
-        PipJoin.perLayer(pipMatches(s, dir), Seq("countries", "regions", "cities", "water"))),
+        PipJoin.perLayer(pipMatchesIndexed(s, dir), Seq("countries", "regions", "cities", "water"))),
       // J8: completeness anti-join
       "q_pip_missing" -> ((s, dir) => {
         val pages = Fixtures.pages(s, dir)
-        PipJoin.missing(pages, pipMatches(s, dir), Seq("countries", "regions", "cities"))
+        PipJoin.missing(pages, pipMatchesIndexed(s, dir), Seq("countries", "regions", "cities"))
           .select("url", "doc_id", "lang")
       }),
       // J9/J10: suggestions with match-rules for unmatched points
@@ -801,7 +820,7 @@ object SparkEntry {
         // the eager checkpoint below lets the cache be RELEASED before
         // returning (repeated invocations were stacking one cached match
         // table each)
-        val m = PipJoin.matches(pages, covers, polys).cache()
+        val m = PipJoin.matchesIndexed(pages, covers, polys).cache()
         val miss = PipJoin.missing(pages, m, Seq("countries", "regions", "cities"))
         val out = PipJoin.suggestions(miss, covers, polys, m,
           Seq(PipJoin.MatchRule("countries", 100L, "cities", Seq(6))))
@@ -964,9 +983,9 @@ object SparkEntry {
           .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))),
       // similarity search
       "q_ann_brute" -> ((s, dir) =>
-        Similarity.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L to 9L, 5)),
+        Similarity.bruteForceTopK(Fixtures.readParquet(s, s"$dir/embeddings.parquet"), 0L to 9L, 5)),
       "q_ann_ivf" -> ((s, dir) =>
-        Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L to 9L, 5)),
+        Similarity.ivfTopK(Fixtures.readParquet(s, s"$dir/embeddings.parquet"), 0L to 9L, 5)),
       // toolchain canary (ADVICE r4): q_ann_ivf's oracle equivalence
       // leans on DuckDB's DECIMAL(38,20) divide-then-cast-to-double
       // tracking Spark's. Building this canary MEASURED the agreement:
@@ -980,7 +999,7 @@ object SparkEntry {
       // legibly, instead of as a confusing q_ann_ivf drift; loose enough
       // that today's benign last-ulp disagreement stays invisible
       "q_decimal_canary" -> ((s, dir) =>
-        s.read.parquet(s"$dir/embeddings.parquet")
+        Fixtures.readParquet(s, s"$dir/embeddings.parquet")
           .filter(col("vec_id") < 256)
           .select(col("vec_id"),
             posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
@@ -1091,9 +1110,9 @@ object SparkEntry {
       // embedding near-dup: exact baseline (oracle-checked) + IVF-blocked
       "q_embed_pairs" -> ((s, dir) =>
         Similarity.embeddingDedupExact(
-          s.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") < 1000), 0.4)),
+          Fixtures.readParquet(s, s"$dir/embeddings.parquet").filter(col("vec_id") < 1000), 0.4)),
       "q_embed_pairs_blocked" -> ((s, dir) =>
-        Similarity.embeddingDedupBlocked(s.read.parquet(s"$dir/embeddings.parquet"), 0.4)),
+        Similarity.embeddingDedupBlocked(Fixtures.readParquet(s, s"$dir/embeddings.parquet"), 0.4)),
       // multimodal plumbing (decode step stubbed deterministically)
       "q_media_meta" -> ((s, dir) => Multimodal.decodeMeta(Fixtures.pages(s, dir))),
       "q_media_frames" -> ((s, dir) => Multimodal.sampleFrames(Fixtures.pages(s, dir))),
@@ -1186,8 +1205,11 @@ object SparkEntry {
         Fixtures.aviVideos(s, dir)
           .as[(String, Array[Byte])]
           .mapPartitions(_.map { case (url, avi) =>
+            // parse ONCE: metadata and means come from the same parsed
+            // container (the byte-form pixelMeans re-walked the RIFF tree
+            // and re-validated every frame header per row)
             val v = operators.AviCodec.parse(url, avi)
-            val (r, g, b) = operators.AviCodec.pixelMeans(avi)
+            val (r, g, b) = operators.AviCodec.pixelMeans(v)
             (url, v.width, v.height, v.frames.length, v.durationMs, r, g, b)
           })
           .toDF("url", "width", "height", "n_frames", "duration_ms",

@@ -62,8 +62,15 @@ object AviCodec extends Multimodal.MediaCodec {
     * q_media_avi's DuckDB oracle recomputes from the fixture's
     * block-color formula without touching a byte of the container.
     */
-  def pixelMeans(bytes: Array[Byte]): (Double, Double, Double) = {
-    val v = parse("<means>", bytes)
+  def pixelMeans(bytes: Array[Byte]): (Double, Double, Double) =
+    pixelMeans(parse("<means>", bytes))
+
+  /** Means from an already-parsed container — callers that also need the
+    * container metadata (q_media_avi computes dims/frames AND means per
+    * row) parse ONCE instead of walking the RIFF tree and re-validating
+    * every frame header a second time. Same arithmetic as the byte form.
+    */
+  def pixelMeans(v: Video): (Double, Double, Double) = {
     var r = 0L; var g = 0L; var b = 0L; var n = 0L
     v.frames.foreach { f =>
       val px = JpegCodec.pixels(f)

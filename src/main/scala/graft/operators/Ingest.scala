@@ -41,8 +41,6 @@ object Ingest {
 
   case class ChainRow(relId: Long, pos: Int, role: String, refs: Seq[Long])
   case class Chain(relId: Long, role: String, chainIdx: Int, refs: Seq[Long])
-  case class ChainCoords(relId: Long, role: String, chainIdx: Int, expected: Int,
-                                 coords: Seq[(Int, Double, Double)], nChains: Long)
 
   /** Full assembly: returns `polygons(relId, adminLevel, layer, name, wkb,
     * bbox)`. Relations whose geometry fails to assemble (unclosed rings,
@@ -61,11 +59,15 @@ object Ingest {
       .filter(col("m.type") === 1 && col("m.role").isin("outer", "inner"))
       .select(col("relId"), col("pos"), col("m.role").as("role"), col("m.id").as("wayId"))
 
-    // S3: needed-way semi-join, then way join; missing ways are skipped
-    // (storage.go:138-141) — the inner join drops them naturally.
-    val neededWays = ways.join(memberWays.select(col("wayId").as("id")).distinct(), Seq("id"), "left_semi")
+    // S3: the needed-way restriction IS this inner join — only ways that
+    // are members of an accepted relation survive it, and missing ways
+    // drop naturally (storage.go:138-141). Round 8 removed a separate
+    // distinct + left-semi pre-pass that shuffled the way table a second
+    // time for rows this join filters identically (guide §2.4: remove
+    // shuffles outright — a semi-join feeding the same inner join is
+    // redundant work at every scale).
     val relWays = memberWays
-      .join(neededWays.withColumnRenamed("id", "wayId"), Seq("wayId"))
+      .join(ways.withColumnRenamed("id", "wayId"), Seq("wayId"))
       .select(col("relId"), col("pos"), col("role"), col("refs"))
       .as[ChainRow]
 
@@ -80,11 +82,13 @@ object Ingest {
         merged("outer") ++ merged("inner")
       }
 
-    // S3 again: needed-node semi-join keeps the node scan minimal
+    // S3 for nodes, same shape as the ways case above: the inner join
+    // below keeps exactly the needed nodes — the former distinct +
+    // left-semi pre-pass shuffled the (planet-dominating) node table
+    // twice for the same filtering.
     val chainRefs = chains
       .select(col("relId"), col("role"), col("chainIdx"), size(col("refs")).as("expected"),
         posexplode(col("refs")).as(Seq("refPos", "nodeId")))
-    val neededNodes = nodes.join(chainRefs.select(col("nodeId").as("id")).distinct(), Seq("id"), "left_semi")
 
     // per-relation chain count BEFORE the node join: a chain whose nodes
     // are ALL missing produces no joined row at all, so the
@@ -92,29 +96,40 @@ object Ingest {
     // comparison catches whole-chain loss (same storage.go:194-196 abort)
     val chainCounts = chains.groupBy("relId").agg(count(lit(1)).as("nChains"))
 
-    // G3: node-ref expansion — join coords, reassemble ordered chains
+    // G3: node-ref expansion — join coords, reassemble ordered chains.
+    // ONE relId exchange (the explicit repartition) serves the per-chain
+    // aggregation (HashPartitioning(relId) satisfies the (relId, role,
+    // chainIdx, expected) clustering — subset rule), survives the count
+    // join, and feeds the final per-relation assembly below with no
+    // further shuffle (guide §2.4: operations keyed the same way share
+    // one exchange). Was: two extra exchanges — the 4-key agg shuffle
+    // and the assembly's opaque groupByKey shuffle.
     val chainCoords = chainRefs
-      .join(neededNodes.withColumnRenamed("id", "nodeId"), Seq("nodeId"))
+      .join(nodes.withColumnRenamed("id", "nodeId"), Seq("nodeId"))
+      .repartition(col("relId"))
       .groupBy("relId", "role", "chainIdx", "expected")
       .agg(sort_array(collect_list(struct(
         col("refPos").as("_1"), col("lon").as("_2"), col("lat").as("_3")))).as("coords"))
       .join(chainCounts, Seq("relId"))
-      .as[ChainCoords]
 
     // G4+G5: polygon assembly + buffer(0) per relation; any chain with a
     // missing node (actual < expected) — or a chain missing ENTIRELY —
     // aborts the whole relation (storage.go:194-196 error propagates out
-    // of ToGeometry).
+    // of ToGeometry). Column-keyed groupBy (not groupByKey with a lambda
+    // key): the planner sees relId and reuses the exchange above.
     val assembled = chainCoords
-      .groupByKey(_.relId)
-      .flatMapGroups { (relId, it) =>
-        val rows = it.toSeq.sortBy(r => (r.role, r.chainIdx))
-        if (rows.exists(r => r.coords.length != r.expected) ||
-            rows.length != rows.head.nChains) Iterator.empty
+      .groupBy("relId")
+      .agg(collect_list(struct(col("role"), col("chainIdx"), col("expected"),
+        col("coords"), col("nChains"))).as("chains"))
+      .as[(Long, Seq[(String, Int, Int, Seq[(Int, Double, Double)], Long)])]
+      .flatMap { case (relId, chainRows) =>
+        val rows = chainRows.sortBy(r => (r._1, r._2))
+        if (rows.exists(r => r._4.length != r._3) ||
+            rows.length != rows.head._5) Iterator.empty
         else {
           def rings(role: String): Seq[IndexedSeq[(Double, Double)]] =
-            rows.filter(_.role == role)
-              .map(_.coords.map { case (_, lon, lat) => (lon, lat) }.toIndexedSeq)
+            rows.filter(_._1 == role)
+              .map(_._4.map { case (_, lon, lat) => (lon, lat) }.toIndexedSeq)
           PolygonAssembly.makePolygons(rings("outer"), rings("inner")) match {
             case Some(g) if !g.isEmpty =>
               try Iterator.single((relId, Jts.toWkb(g.buffer(0))))

@@ -288,6 +288,7 @@ object JpegCodec extends Multimodal.MediaCodec {
     val dcPred = new Array[Int](comps.length)
     val coef = new Array[Int](64)
     val block = new Array[Double](64)
+    val idctTmp = new Array[Double](64) // scratch reused across blocks
     var mcu = 0
     var rst = 0
     var my = 0
@@ -316,6 +317,7 @@ object JpegCodec extends Multimodal.MediaCodec {
               coef(0) = dcPred(ci) * qt(0)
               var k = 1
               var eob = false
+              var nAc = 0
               while (k < 64 && !eob) {
                 val rs = huffDecode(br, acT)
                 val r = rs >> 4; val s = rs & 15
@@ -324,24 +326,44 @@ object JpegCodec extends Multimodal.MediaCodec {
                   k += r
                   require(k < 64, "AC run past end of block")
                   coef(ZigZag(k)) = extend(br.receive(s), s) * qt(k)
+                  nAc += 1
                   k += 1
                 }
               }
-              idct(coef, block)
-              // place samples into the component plane
               val x0 = (mx * c.hSamp + bx) * 8
               val y0 = (my * c.vSamp + by) * 8
               val pw = planeW(ci)
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                val rowOff = (y0 + y) * pw + x0
-                while (x < 8) {
-                  val v = math.round(block(8 * y + x) + 128.0).toInt
-                  planes(ci)(rowOff + x) = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
-                  x += 1
+              if (nAc == 0) {
+                // DC-only block (the dominant case for flat regions, and
+                // every block of the block-constant fixture class): the
+                // IDCT collapses to the single product coef(0)·b00·b00 —
+                // idctBasis(0)(x) is the constant b00 for every x, and the
+                // general loops only ADD exact ±0.0 terms to it, which
+                // never changes a double — so this value is bit-identical
+                // to the full IDCT's output at every sample. One round +
+                // clamp instead of 1024 multiply-adds and 64 rounds.
+                val b00 = idctBasis(0)(0)
+                val v0 = math.round(coef(0) * b00 * b00 + 128.0).toInt
+                val sample = (if (v0 < 0) 0 else if (v0 > 255) 255 else v0).toByte
+                var y = 0
+                while (y < 8) {
+                  java.util.Arrays.fill(planes(ci), (y0 + y) * pw + x0, (y0 + y) * pw + x0 + 8, sample)
+                  y += 1
                 }
-                y += 1
+              } else {
+                idct(coef, block, idctTmp)
+                // place samples into the component plane
+                var y = 0
+                while (y < 8) {
+                  var x = 0
+                  val rowOff = (y0 + y) * pw + x0
+                  while (x < 8) {
+                    val v = math.round(block(8 * y + x) + 128.0).toInt
+                    planes(ci)(rowOff + x) = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                    x += 1
+                  }
+                  y += 1
+                }
               }
               bx += 1
             }
@@ -358,6 +380,35 @@ object JpegCodec extends Multimodal.MediaCodec {
     // upsample + color convert + crop
     val out = new Array[Byte](hd.width * hd.height * 3)
     val gray = comps.length == 1
+    if (!gray && hmax == 1 && vmax == 1) {
+      // 4:4:4 fast path: sampling is the identity, so the generic loop's
+      // six per-pixel integer divisions and the per-pixel closure go away;
+      // the YCbCr arithmetic below is the SAME expressions in the same
+      // order as the general path — identical output bytes.
+      val p0 = planes(0); val p1 = planes(1); val p2 = planes(2)
+      val pw = planeW(0)
+      var y = 0
+      while (y < hd.height) {
+        var x = 0
+        val row = y * pw
+        var o = 3 * y * hd.width
+        while (x < hd.width) {
+          val yy = (p0(row + x) & 0xff).toDouble
+          val cb = (p1(row + x) & 0xff) - 128.0
+          val cr = (p2(row + x) & 0xff) - 128.0
+          var v = math.round(yy + 1.402 * cr).toInt
+          out(o) = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          v = math.round(yy - 0.344136 * cb - 0.714136 * cr).toInt
+          out(o + 1) = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          v = math.round(yy + 1.772 * cb).toInt
+          out(o + 2) = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          x += 1
+          o += 3
+        }
+        y += 1
+      }
+      return out
+    }
     var y = 0
     while (y < hd.height) {
       var x = 0
@@ -389,9 +440,10 @@ object JpegCodec extends Multimodal.MediaCodec {
     out
   }
 
-  private def idct(coef: Array[Int], out: Array[Double]): Unit = {
-    // separable: rows then columns, double precision throughout
-    val tmp = new Array[Double](64)
+  private def idct(coef: Array[Int], out: Array[Double], tmp: Array[Double]): Unit = {
+    // separable: rows then columns, double precision throughout; `tmp` is
+    // caller-provided scratch (was allocated per block — per-block garbage
+    // on the hot decode path)
     var y = 0
     while (y < 8) {
       var x = 0

@@ -189,10 +189,8 @@ object PipJoin {
     val coverCells = coverAgg
       .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
 
-    val doPrune = pruneProbe.getOrElse {
-      val covered = coverAgg.select("joinCell").distinct().count()
-      covered.toDouble / (2.0 * math.pow(4.0, jl)) < PruneCoverageThreshold
-    }
+    val doPrune = pruneProbe.getOrElse(
+      autoPrune(coverAgg.select("joinCell").distinct().count(), jl))
 
     val probes0 = pages
       .withColumn("joinCell", st_cell_at(col("lon"), col("lat"), jl))
@@ -219,6 +217,17 @@ object PipJoin {
       .filter(st_contains_point_keyed(col("relId"), col("wkb"), col("lon"), col("lat")))
       .select("url", "layer", "relId")
   }
+
+  /** The auto-prune density rule: prune when the build side covers less
+    * than [[PruneCoverageThreshold]] of the level-`jl` grid. The Cell
+    * scheme is ONE quadtree square — exactly 4^jl cells at level jl. (A
+    * doubled denominator here capped the fraction at 0.5 and made auto
+    * mode enable the semi-join unconditionally: dense covers paid the
+    * broadcast semi-join for zero dropped rows — ADVICE r7 #1.
+    * PipelineSpec pins full coverage ⇒ no prune.)
+    */
+  private[operators] def autoPrune(coveredCells: Long, jl: Int): Boolean =
+    coveredCells.toDouble / math.pow(4.0, jl) < PruneCoverageThreshold
 
   /** Hybrid strategy (SURVEY §4 physical notes): split the polygon
     * dimension by expected probe traffic — relations whose covers span the

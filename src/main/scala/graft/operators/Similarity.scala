@@ -144,6 +144,10 @@ object Similarity {
         (b, h, id)
       }
     }.toDF("band", "bandVal", "vec_id")
+      // localCheckpoint: both sides of the bucket self-join read this —
+      // without materialization the integer SRP sketch (bands × rows ×
+      // dim exact-hash sign sums per vector) runs twice per query
+      .localCheckpoint()
 
     val pairs = buckets.as("a").join(buckets.as("b"), Seq("band", "bandVal"))
       .filter(col("a.vec_id") < col("b.vec_id"))
@@ -193,11 +197,15 @@ object Similarity {
     import spark.implicits._
     val emb = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
       .cache()
+    // ONE job for (row count, dim) instead of a count job + a limit-1
+    // collect job (guide §1.2: don't pay two passes for two scalars);
+    // min(size) is deterministic and equals the uniform dim
+    val statsRow = emb.agg(count(lit(1)), min(size(col("vec")))).head()
+    val n = statsRow.getLong(0)
     val k =
       if (nCentroids > 0) nCentroids
-      else math.max(16, math.sqrt(emb.count().toDouble).toInt)
-    val dim = emb.select(size(col("vec"))).limit(1).as[Int].collect()
-      .headOption.getOrElse(0)
+      else math.max(16, math.sqrt(n.toDouble).toInt)
+    val dim = if (statsRow.isNullAt(1)) 0 else statsRow.getInt(1)
     val centroidBytes = k.toLong * dim * 8
 
     def assign(centroids: DataFrame): DataFrame =
@@ -219,8 +227,14 @@ object Similarity {
         val nChunks = math.min(k.toLong,
           math.ceil(centroidBytes.toDouble / centroidBroadcastBytes).toLong).toInt
         val bests = (0 until nChunks).map { i =>
+          // chunk membership by xxhash64, not raw id mod: centroid ids are
+          // inherited from arbitrary vec_ids, so skewed residues could
+          // pack many times the broadcast budget into one chunk (ADVICE
+          // r7 #5); the hash spreads any id distribution evenly. Chunking
+          // only partitions the argmax — the global max over all chunks
+          // is identical for ANY chunk assignment (associativity).
           emb.crossJoin(broadcast(
-              centroids.filter(pmod(col("centroid_id"), lit(nChunks)) === i)))
+              centroids.filter(pmod(xxhash64(col("centroid_id")), lit(nChunks)) === i)))
             .withColumn("csim", cosine(col("vec"), col("cvec")))
             .groupBy("vec_id")
             .agg(max(struct(col("csim"), (-col("centroid_id")).as("nid"))).as("best"))
@@ -242,14 +256,21 @@ object Similarity {
       // dependent), which is what kept this query un-freezable. Range is
       // safe: unit-scale embedding components over 10^12 rows stay within
       // decimal(38,20).
+      // ONE partial-aggregable pass (VecDecimalSum) instead of posexplode
+      // + per-(centroid, dim) sum + collect_list regroup: the explode
+      // form shuffled dim× more rows and paid a second exchange to get
+      // arrays back. Decimal addition is exact and associative, so the
+      // elementwise array sum is bit-identical to the exploded sum, and
+      // the division below keeps the same operand types
+      // (decimal(38,20) / bigint) and cast as the exploded form.
       val means = assigned
-        .select(col("centroid_id"), posexplode(col("vec")).as(Seq("dim", "x")))
-        .groupBy("centroid_id", "dim")
-        .agg((sum(col("x").cast("decimal(38,20)")) / count(lit(1)))
-          .cast("double").as("m"))
+        .select(col("centroid_id"),
+          expr("transform(vec, x -> CAST(x AS DECIMAL(38,20)))").as("dvec"))
         .groupBy("centroid_id")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("centroid_id"), expr("transform(dm, p -> p.m)").as("cvec"))
+        .agg(graft.functions.VecDecimalSum.vec_decimal_sum(col("dvec")).as("sums"),
+          count(lit(1)).as("nrows"))
+        .select(col("centroid_id"),
+          expr("transform(sums, s -> CAST(s / nrows AS DOUBLE))").as("cvec"))
       centroids = means
       // localCheckpoint per Lloyd round (the kNN/connectedComponents
       // discipline): assign(N) chains through every earlier round's means

@@ -214,12 +214,17 @@ object TextOps {
       .map { case (id, text) => DocSketch(id, minHashes(text).toSeq) }
 
     // bucket key is the band's minhash slice ITSELF (collision-free and
-    // directly comparable in the DuckDB oracle — no band-hash function)
+    // directly comparable in the DuckDB oracle — no band-hash function).
+    // localCheckpoint: the bucket table feeds the size filter AND both
+    // sides of the candidate self-join — without materialization the
+    // minhash sketch pass (NumMinHashes hashes over every shingle of
+    // every doc) runs three times per query (guide §1.2: fix the
+    // distributed algorithm — don't recompute what you already have).
     val buckets0 = sketches.flatMap { s =>
       (0 until Bands).iterator.map { b =>
         (b, s.minhashes.slice(b * rows, (b + 1) * rows), s.doc_id)
       }
-    }.toDF("band", "sig", "doc_id")
+    }.toDF("band", "sig", "doc_id").localCheckpoint()
 
     // skew bound: drop over-full buckets (near-identical boilerplate all
     // hashing to one band value) — same cap + recall caveat as
@@ -267,10 +272,14 @@ object TextOps {
       .map { case (id, t) => (id, simHash(t)) }
       .toDF("doc_id", "simhash")
 
+    // localCheckpoint: banded0 feeds the size filter and both self-join
+    // sides — materialize the simhash sketch pass once instead of thrice
+    // (same rationale as minhashDedup's bucket checkpoint)
     val banded0 = sketches.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), expr(s"(simhash >> ${b * 16}) & 65535").as("bandVal"))): _*)).as("bd"))
       .select(col("doc_id"), col("simhash"), col("bd.band"), col("bd.bandVal"))
+      .localCheckpoint()
 
     val small = banded0.groupBy("band", "bandVal")
       .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBucket)

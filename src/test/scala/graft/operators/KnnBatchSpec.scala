@@ -60,6 +60,16 @@ class KnnBatchSpec extends SparkTestBase {
     val viaWindow = Knn.knnBatch(pages, qdf, k, partialTopK = false)
       .select("queryId", "rank", "url").as[(String, Long, String)].collect().toSet
     assert(viaWindow == viaBatch, "window-form best-k diverged from partial top-k")
+
+    // the clustered-index-cache gate (round 8): threshold 0 forces the
+    // cellId-clustered layout, Long.MaxValue forces the plain cache —
+    // both sides of the gate must be row-identical (layout only)
+    val viaClustered = Knn.knnBatch(pages, qdf, k, clusterIndexThresholdBytes = 0L)
+      .select("queryId", "rank", "url").as[(String, Long, String)].collect().toSet
+    assert(viaClustered == viaBatch, "clustered-cache side of the gate diverged")
+    val viaPlain = Knn.knnBatch(pages, qdf, k, clusterIndexThresholdBytes = Long.MaxValue)
+      .select("queryId", "rank", "url").as[(String, Long, String)].collect().toSet
+    assert(viaPlain == viaBatch, "plain-cache side of the gate diverged")
     pages.unpersist()
   }
 

@@ -95,6 +95,18 @@ class PipelineSpec extends SparkTestBase {
     assert(a == b && a == c && a == d && a == e && a == f)
   }
 
+  test("auto-prune density rule: full grid coverage disables the probe semi-join") {
+    // one quadtree square -> 4^jl cells at level jl (ADVICE r7 #1: a
+    // doubled denominator capped the fraction at 0.5, making auto mode
+    // prune unconditionally — dense covers paid a semi-join for nothing)
+    val jl = 6
+    val full = math.pow(4.0, jl).toLong
+    assert(!PipJoin.autoPrune(full, jl), "full coverage must not prune")
+    assert(!PipJoin.autoPrune((full * 0.9).toLong, jl), "90% coverage must not prune")
+    assert(PipJoin.autoPrune((full * 0.5).toLong, jl), "sparse coverage must prune")
+    assert(PipJoin.autoPrune(1L, jl))
+  }
+
   test("partitioned strategy property: RANDOM joinLevel × salt all equal broadcast rows") {
     // the descend/lift key derivation must be lossless at ANY join level
     // (coarse cover cells descend 4^Δ, fine cells lift to their ancestor)

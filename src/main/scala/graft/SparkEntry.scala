@@ -711,6 +711,37 @@ object SparkEntry {
       }
 
     val native: Map[String, (SparkSession, String) => DataFrame] = Map(
+      // q_tfidf_topk, Spark side only (shadows the sqlBacked entry; the
+      // DuckDB oracle stays sharedSql verbatim): the SQL form's `tf` CTE
+      // feeds both the scored join AND `df`, and Spark INLINES it — the
+      // before-plan (plans/r08/before/q_tfidf_topk.txt) shows the whole
+      // explode + (doc_id, term) aggregation chain TWICE (two Generate +
+      // HashAggregate + Exchange subtrees; ReuseExchange does not fire
+      // across the differing projections). DataFrame form materializes tf
+      // once (localCheckpoint, inside the timed region) and collapses the
+      // scalar `n` subquery to a literal from the same count. Semantics
+      // are the shared SQL's, expression for expression: same split/
+      // filter lambda, count(*) tf/df, ln(n/df) in double, round(.,6),
+      // row_number over (doc_id | tfidf desc, term), rnk <= 3, same
+      // output schema — the driver's oracle hash pins the equality.
+      "q_tfidf_topk" -> ((s, dir) => {
+        registerViews(s, dir)
+        val docs = s.table("documents")
+        val terms = docs.select(col("doc_id"),
+          explode(expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).as("term"))
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
+        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.count()
+        val scored = tf.join(dfT, Seq("term"))
+          .select(col("doc_id"), col("term"),
+            round(col("tf") * log(lit(n).cast("double") / col("df")), 6).as("tfidf"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+        scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk").cast("long").as("rnk"), col("term"), col("tfidf"))
+      }),
       // G1-G5: relation assembly → polygons (areas rounded for stability)
       "q_polygons" -> ((s, _) => {
         val (polys, _) = dims(s)

@@ -118,30 +118,62 @@ object Similarity {
     val p = TextOps.MersennePrime
     val emb = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
 
-    val buckets = emb.as[(Long, Seq[Double])].flatMap { case (id, v) =>
-      // quantize to integers: exact, order-independent sign sums
-      val q = v.iterator.map(x => math.floor(x * 1e6 + 0.5).toLong).toArray
-      (0 until bands).iterator.map { b =>
-        var h = 0L
-        var r = 0
-        while (r < rowsPerBand) {
-          val j = b * rowsPerBand + r
-          var s = 0L
-          var i = 0
-          while (i < q.length) {
-            // square the affine hash before the half-test: (a·i+b) mod p
-            // alone is an arithmetic progression (three-distance structure
-            // → correlated signs → measured recall loss); u² mod p
-            // scatters it while staying exact int64 math
-            val u = (PlaneA(j) * (i + 1) + PlaneB(j)) % p
-            val v = (u * u) % p
-            s += (if (2 * v < p) q(i) else -q(i))
-            i += 1
+    val nPlanes = bands * rowsPerBand
+    val buckets = emb.as[(Long, Seq[Double])].mapPartitions { it =>
+      // The plane sign is a pure function of (plane j, dimension i) —
+      // sign(j,i) = [2·((aj·(i+1)+bj)² mod p) mod p < p] — so computing
+      // the two modular products PER VECTOR repeated the same 64×dim
+      // values for every row (guide §1.2: per-task work — hoist
+      // invariants). One sign table per partition (re-derived if the
+      // dimension changes mid-stream), then the per-vector work is pure
+      // adds of the quantized components. The CONDITION is the identical
+      // exact int64 arithmetic as before — the squared affine hash
+      // comment below still applies — so every bandVal is unchanged.
+      // (Square the affine hash before the half-test: (a·i+b) mod p alone
+      // is an arithmetic progression — three-distance structure →
+      // correlated signs → measured recall loss; u² mod p scatters it
+      // while staying exact int64 math.)
+      var signs: Array[Boolean] = null // [j * dim + i]
+      var signDim = -1
+      def signTable(dim: Int): Array[Boolean] = {
+        if (signDim != dim) {
+          signs = new Array[Boolean](nPlanes * dim)
+          var j = 0
+          while (j < nPlanes) {
+            var i = 0
+            while (i < dim) {
+              val u = (PlaneA(j) * (i + 1) + PlaneB(j)) % p
+              val v = (u * u) % p
+              signs(j * dim + i) = 2 * v < p
+              i += 1
+            }
+            j += 1
           }
-          h = (h << 1) | (if (s >= 0) 1L else 0L)
-          r += 1
+          signDim = dim
         }
-        (b, h, id)
+        signs
+      }
+      it.flatMap { case (id, v) =>
+        // quantize to integers: exact, order-independent sign sums
+        val q = v.iterator.map(x => math.floor(x * 1e6 + 0.5).toLong).toArray
+        val sg = signTable(q.length)
+        (0 until bands).iterator.map { b =>
+          var h = 0L
+          var r = 0
+          while (r < rowsPerBand) {
+            val j = b * rowsPerBand + r
+            var s = 0L
+            var i = 0
+            val off = j * q.length
+            while (i < q.length) {
+              s += (if (sg(off + i)) q(i) else -q(i))
+              i += 1
+            }
+            h = (h << 1) | (if (s >= 0) 1L else 0L)
+            r += 1
+          }
+          (b, h, id)
+        }
       }
     }.toDF("band", "bandVal", "vec_id")
       // localCheckpoint: both sides of the bucket self-join read this —
@@ -210,13 +242,55 @@ object Similarity {
 
     def assign(centroids: DataFrame): DataFrame =
       if (centroidBytes <= centroidBroadcastBytes) {
-        emb.crossJoin(broadcast(centroids))
-          .withColumn("csim", cosine(col("vec"), col("cvec")))
-          // argmax by (csim desc, centroid_id asc): lexicographic struct max
-          .groupBy("vec_id")
-          .agg(first(col("vec")).as("vec"),
-            max(struct(col("csim"), (-col("centroid_id")).as("nid"))).as("best"))
-          .select(col("vec_id"), col("vec"), (-col("best.nid")).as("centroid_id"))
+        // Collect the centroid table (broadcast-sized by this branch's
+        // precondition — the same bytes the broadcast shipped to every
+        // executor) and compute each vector's argmax MAP-SIDE: the
+        // previous crossJoin + groupBy(vec_id) form re-shuffled every
+        // (vec_id, vec) row once per Lloyd round only to regroup
+        // candidate rows the map side had already produced (guide §2.4:
+        // remove shuffles outright — one exchange of the full table per
+        // iteration, gone). csim replicates cosine() exactly — VecDot's
+        // sequential left-fold, sqrt norms, d/na/nb with the zero-norm
+        // guard — and the argmax keeps the (csim desc, centroid_id asc)
+        // struct-max tie order, so assignments are bit-identical to the
+        // crossJoin form and to the chunked path (TextOpsSpec pins
+        // chunked ≡ broadcast).
+        val cents = centroids.select(col("centroid_id"), col("cvec"))
+          .as[(Long, Seq[Double])].collect()
+          .map { case (cid, cv) => (cid, cv.toArray) }
+        if (cents.isEmpty)
+          emb.filter(lit(false))
+            .select(col("vec_id"), col("vec"), col("vec_id").as("centroid_id"))
+        else emb.as[(Long, Seq[Double])].mapPartitions { it =>
+          def dot(x: Array[Double], y: Array[Double]): Double = {
+            var s = 0.0
+            var i = 0
+            while (i < x.length) { s += x(i) * y(i); i += 1 }
+            s
+          }
+          val cnorms = cents.map { case (_, cv) => math.sqrt(dot(cv, cv)) }
+          it.map { case (id, v) =>
+            val x = v.toArray
+            val nx = math.sqrt(dot(x, x))
+            var bestSim = 0.0
+            var bestCid = 0L
+            var first = true
+            var ci = 0
+            while (ci < cents.length) {
+              val (cid, cv) = cents(ci)
+              val nb = cnorms(ci)
+              val csim = if (nx == 0.0 || nb == 0.0) 0.0 else dot(x, cv) / nx / nb
+              // Double.compare, not primitive >: Spark's struct max orders
+              // -0.0 < +0.0, and the tie-break must agree exactly
+              val cmp = java.lang.Double.compare(csim, bestSim)
+              if (first || cmp > 0 || (cmp == 0 && cid < bestCid)) {
+                bestSim = csim; bestCid = cid; first = false
+              }
+              ci += 1
+            }
+            (id, v, bestCid)
+          }
+        }.toDF("vec_id", "vec", "centroid_id")
       } else {
         // non-broadcastable centroid table: split it into broadcastable
         // chunks by centroid_id mod, take each vector's best per chunk

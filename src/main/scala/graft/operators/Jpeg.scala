@@ -515,7 +515,8 @@ object JpegCodec extends Multimodal.MediaCodec {
     */
   def encode(w: Int, h: Int, rgb: Array[Byte],
              quantTable: Array[Int] = Array.fill(64)(1),
-             restartInterval: Int = 0): Array[Byte] = {
+             restartInterval: Int = 0,
+             constFast: Boolean = true): Array[Byte] = {
     require(rgb.length == 3 * w * h, s"need ${3 * w * h} rgb bytes, got ${rgb.length}")
     require(quantTable.length == 64 && quantTable.forall(q => q >= 1 && q <= 255),
       "quantTable must be 64 entries in 1..255")
@@ -585,27 +586,63 @@ object JpegCodec extends Multimodal.MediaCodec {
         }
         var ci = 0
         while (ci < 3) {
-          // FDCT (separable would be faster; direct double sum is exact
-          // enough for the encoder and runs once per fixture image)
-          var u = 0
-          while (u < 8) {
-            var v = 0
-            while (v < 8) {
-              var s = 0.0
-              var yy = 0
-              while (yy < 8) {
-                var xx = 0
-                while (xx < 8) {
-                  s += (planes(ci)((by * 8 + yy) * bw + bx * 8 + xx) - 128) *
-                    idctBasis(u)(xx) * idctBasis(v)(yy)
-                  xx += 1
-                }
-                yy += 1
+          // Constant-block FDCT fast path (flat regions — every block of
+          // the block-constant fixture class): for an all-equal block the
+          // REAL DCT is zero at every (u,v) ≠ (0,0), and the float sum
+          // the general loop computes is bounded by ~1e-10 (64 products
+          // ≤ 22.5 each with ≤ 2^-52 relative rounding + 64 addition
+          // errors at ≤ ulp(2^11)) — far below the 0.5·quant rounding
+          // half-step with quant ≥ 1, so `round(freq/quant)` is 0 on
+          // BOTH paths. The DC term replicates the general loop's fold
+          // exactly (64 sequential adds of the identical product), so
+          // the quantized coefficient vector — and therefore the encoded
+          // byte stream — is identical (JpegSpec pins byte equality on
+          // constant, fixture-style and random images). Cost: 64 loads +
+          // 64 adds instead of 4096 multiply-adds per block.
+          var const = constFast
+          val p0 = planes(ci)(by * 8 * bw + bx * 8)
+          if (constFast) {
+            var yy = 0
+            while (yy < 8 && const) {
+              var xx = 0
+              val row = (by * 8 + yy) * bw + bx * 8
+              while (xx < 8 && const) {
+                if (planes(ci)(row + xx) != p0) const = false
+                xx += 1
               }
-              freq(8 * v + u) = s
-              v += 1
+              yy += 1
             }
-            u += 1
+          }
+          if (const) {
+            java.util.Arrays.fill(freq, 0.0)
+            val t = (p0 - 128) * idctBasis(0)(0) * idctBasis(0)(0)
+            var s = 0.0
+            var i = 0
+            while (i < 64) { s += t; i += 1 }
+            freq(0) = s
+          } else {
+            // FDCT (separable would change the summation order — kept as
+            // the direct double sum, the bit-pattern the fixtures pin)
+            var u = 0
+            while (u < 8) {
+              var v = 0
+              while (v < 8) {
+                var s = 0.0
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  while (xx < 8) {
+                    s += (planes(ci)((by * 8 + yy) * bw + bx * 8 + xx) - 128) *
+                      idctBasis(u)(xx) * idctBasis(v)(yy)
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                freq(8 * v + u) = s
+                v += 1
+              }
+              u += 1
+            }
           }
           var k = 0
           while (k < 64) { q(k) = math.round(freq(ZigZag(k)) / quantTable(k)).toInt; k += 1 }

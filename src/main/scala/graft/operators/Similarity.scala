@@ -176,14 +176,26 @@ object Similarity {
         }
       }
     }.toDF("band", "bandVal", "vec_id")
-      // localCheckpoint: both sides of the bucket self-join read this —
-      // without materialization the integer SRP sketch (bands × rows ×
-      // dim exact-hash sign sums per vector) runs twice per query
-      .localCheckpoint()
 
-    val pairs = buckets.as("a").join(buckets.as("b"), Seq("band", "bandVal"))
-      .filter(col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    // Candidate generation as ONE aggregation (same rewrite as the
+    // minhash/simhash banding): group each (band, bandVal) bucket,
+    // emit sorted intra-bucket pairs, dedup across bands — replaces a
+    // sort-merge self-join over a twice-computed sketch. The collected
+    // list holds vec_ids only (8 bytes each); the pair explosion is the
+    // same quadratic the self-join had, now without re-shuffling the
+    // bucket table twice.
+    val pairs = buckets
+      .groupBy("band", "bandVal")
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        val sorted = ids.sorted.toArray
+        for {
+          i <- sorted.indices.iterator
+          j <- ((i + 1) until sorted.length).iterator
+        } yield (sorted(i), sorted(j))
+      }
+      .toDF("vec_a", "vec_b")
       .distinct()
 
     val embN = withNorm(emb, "vec", "nrm")

@@ -215,29 +215,34 @@ object TextOps {
 
     // bucket key is the band's minhash slice ITSELF (collision-free and
     // directly comparable in the DuckDB oracle — no band-hash function).
-    // localCheckpoint: the bucket table feeds the size filter AND both
-    // sides of the candidate self-join — without materialization the
-    // minhash sketch pass (NumMinHashes hashes over every shingle of
-    // every doc) runs three times per query (guide §1.2: fix the
-    // distributed algorithm — don't recompute what you already have).
-    val buckets0 = sketches.flatMap { s =>
+    // Candidate generation is ONE aggregation: group each (band, sig)
+    // bucket's members and emit intra-bucket pairs from the list — the
+    // previous form paid a bucket-count aggregation + a filter join +
+    // a sort-merge SELF-join (the sketch pass ran three times and the
+    // bucket table shuffled four times); this shuffles the sketch once
+    // (guide §2.4). The skew cap keeps its semantics: buckets larger
+    // than maxBucket (near-identical boilerplate hashing to one band
+    // value) are dropped whole, same recall caveat as simhashDedup,
+    // never triggering at fixture scale — and the cap also bounds the
+    // collected list (≤ maxBucket ids per group). Pair set identical:
+    // all a < b pairs within a bucket, deduplicated across bands.
+    val pairs = sketches.flatMap { s =>
       (0 until Bands).iterator.map { b =>
         (b, s.minhashes.slice(b * rows, (b + 1) * rows), s.doc_id)
       }
-    }.toDF("band", "sig", "doc_id").localCheckpoint()
-
-    // skew bound: drop over-full buckets (near-identical boilerplate all
-    // hashing to one band value) — same cap + recall caveat as
-    // simhashDedup; never triggers at fixture scale
-    val small = buckets0.groupBy("band", "sig")
-      .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBucket)
-      .select("band", "sig")
-    val buckets = buckets0.join(small, Seq("band", "sig"))
-
-    val pairs = buckets.as("a")
-      .join(buckets.as("b"), Seq("band", "sig"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    }.toDF("band", "sig", "doc_id")
+      .groupBy("band", "sig")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= maxBucket)
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        val sorted = ids.sorted.toArray
+        for {
+          i <- sorted.indices.iterator
+          j <- ((i + 1) until sorted.length).iterator
+        } yield (sorted(i), sorted(j))
+      }
+      .toDF("doc_a", "doc_b")
       .distinct()
 
     val texts = documents.select(col("doc_id"), col("text"))
@@ -272,24 +277,29 @@ object TextOps {
       .map { case (id, t) => (id, simHash(t)) }
       .toDF("doc_id", "simhash")
 
-    // localCheckpoint: banded0 feeds the size filter and both self-join
-    // sides — materialize the simhash sketch pass once instead of thrice
-    // (same rationale as minhashDedup's bucket checkpoint)
-    val banded0 = sketches.select(col("doc_id"), col("simhash"),
+    // Candidate generation as ONE aggregation (same rewrite as
+    // minhashDedup): collect each (band, bandVal) bucket's (doc_id,
+    // simhash) members, cap-filter the bucket whole (identical skew
+    // semantics — the cap also bounds the collected list), emit sorted
+    // intra-bucket pairs, dedup across bands. Replaces the count-agg +
+    // filter join + sort-merge self-join over a thrice-computed sketch.
+    import org.apache.spark.sql.functions.{collect_list, size}
+    sketches.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), expr(s"(simhash >> ${b * 16}) & 65535").as("bandVal"))): _*)).as("bd"))
       .select(col("doc_id"), col("simhash"), col("bd.band"), col("bd.bandVal"))
-      .localCheckpoint()
-
-    val small = banded0.groupBy("band", "bandVal")
-      .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBucket)
-      .select("band", "bandVal")
-    val banded = banded0.join(small, Seq("band", "bandVal"))
-
-    banded.as("a").join(banded.as("b"), Seq("band", "bandVal"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .groupBy("band", "bandVal")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
+      .filter(size(col("members")) <= maxBucket)
+      .select(col("members")).as[Seq[(Long, Long)]]
+      .flatMap { members =>
+        val sorted = members.sortBy(_._1).toArray
+        for {
+          i <- sorted.indices.iterator
+          j <- ((i + 1) until sorted.length).iterator
+        } yield (sorted(i)._1, sorted(j)._1, sorted(i)._2, sorted(j)._2)
+      }
+      .toDF("doc_a", "doc_b", "sim_a", "sim_b")
       .distinct()
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
       .filter(col("hamming") <= maxHamming)

@@ -150,6 +150,37 @@ class JpegSpec extends AnyFunSuite {
     assert(meanDiff <= 1.5, s"mean per-sample disagreement $meanDiff > 1.5")
   }
 
+  test("constant-block FDCT fast path is byte-identical to the general loop (round 8)") {
+    val rnd = new scala.util.Random(4242)
+    // (a) block-constant fixture class — fast path fires on every block
+    for (id <- 0L until 20L) {
+      val w = (4 + id % 21).toInt; val h = (3 + id % 17).toInt
+      val rgb = Array.tabulate(3 * w * h) { o =>
+        val x = (o / 3) % w; val y = (o / 3) / w
+        val bx = x / 8; val by = y / 8
+        (((o % 3) + 1) * id + 7 * bx + 13 * by).toByte
+      }
+      val fast = JpegCodec.encode(w, h, rgb, constFast = true)
+      val slow = JpegCodec.encode(w, h, rgb, constFast = false)
+      assert(java.util.Arrays.equals(fast, slow), s"fixture-style image $id diverged")
+    }
+    // (b) random noise — fast path almost never fires; must still agree
+    // (edge-replication padding CAN make boundary blocks constant)
+    for (trial <- 0 until 10) {
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(30)
+      val rgb = Array.fill(3 * w * h)(rnd.nextInt(256).toByte)
+      val q = Array.fill(64)(1 + rnd.nextInt(40))
+      val fast = JpegCodec.encode(w, h, rgb, quantTable = q, constFast = true)
+      val slow = JpegCodec.encode(w, h, rgb, quantTable = q, constFast = false)
+      assert(java.util.Arrays.equals(fast, slow), s"random image trial $trial diverged")
+    }
+    // (c) fully constant image with a restart interval
+    val rgbC = Array.fill(3 * 24 * 16)(99.toByte)
+    assert(java.util.Arrays.equals(
+      JpegCodec.encode(24, 16, rgbC, restartInterval = 2, constFast = true),
+      JpegCodec.encode(24, 16, rgbC, restartInterval = 2, constFast = false)))
+  }
+
   test("malformed inputs fail loudly") {
     val good = JpegCodec.encode(8, 8, blockImage(8, 8, 3L))
     intercept[IllegalArgumentException] { // progressive SOF2

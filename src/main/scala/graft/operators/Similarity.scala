@@ -184,18 +184,23 @@ object Similarity {
     // list holds vec_ids only (8 bytes each); the pair explosion is the
     // same quadratic the self-join had, now without re-shuffling the
     // bucket table twice.
+    // pair emission stays in CODEGEN (explode + higher-order filter +
+    // explode), not a Scala closure: the SRP bands are 4-bit values, so
+    // buckets are hot (hundreds of members) and the quadratic pair set
+    // is millions of rows — a per-pair closure + encoder measured SLOWER
+    // than the self-join it replaced (guide §4.1: prefer built-ins on
+    // the hot path), while the codegen'd explode beats both.
+    // Dedup BEFORE the verify joins: the verify attaches two 64-double
+    // vectors per candidate row, so its cost is dominated by wide-row
+    // materialization — measured at sf0.1, deduping 2.09M candidate rows
+    // to 1.29M unique pairs first beats verifying the duplicates
+    // (post-filter dedup was ~0.5 s slower; the narrow (a, b) exchange
+    // is cheaper than 0.8M extra wide verify rows).
     val pairs = buckets
       .groupBy("band", "bandVal")
       .agg(collect_list(col("vec_id")).as("ids"))
-      .select(col("ids")).as[Seq[Long]]
-      .flatMap { ids =>
-        val sorted = ids.sorted.toArray
-        for {
-          i <- sorted.indices.iterator
-          j <- ((i + 1) until sorted.length).iterator
-        } yield (sorted(i), sorted(j))
-      }
-      .toDF("vec_a", "vec_b")
+      .select(explode(col("ids")).as("vec_a"), col("ids"))
+      .select(col("vec_a"), explode(expr("filter(ids, x -> x > vec_a)")).as("vec_b"))
       .distinct()
 
     val embN = withNorm(emb, "vec", "nrm")

@@ -111,7 +111,8 @@ object Similarity {
     * recall at θ=0.4 — pairs straddle centroid lists — hence this scheme.)
     */
   def embeddingDedupBlocked(embeddings: DataFrame, threshold: Double,
-                            bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                            bands: Int = 16, rowsPerBand: Int = 4,
+                            verifyBroadcastBytes: Long = VerifyBroadcastBytes): DataFrame = {
     require(bands * rowsPerBand <= 64, "PlaneA/PlaneB carry 64 plane rows")
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -190,12 +191,11 @@ object Similarity {
     // is millions of rows — a per-pair closure + encoder measured SLOWER
     // than the self-join it replaced (guide §4.1: prefer built-ins on
     // the hot path), while the codegen'd explode beats both.
-    // Dedup BEFORE the verify joins: the verify attaches two 64-double
-    // vectors per candidate row, so its cost is dominated by wide-row
-    // materialization — measured at sf0.1, deduping 2.09M candidate rows
-    // to 1.29M unique pairs first beats verifying the duplicates
-    // (post-filter dedup was ~0.5 s slower; the narrow (a, b) exchange
-    // is cheaper than 0.8M extra wide verify rows).
+    // Dedup BEFORE the verify: the verify needs two 64-double vectors
+    // per candidate row, so its cost scales with candidate rows —
+    // measured at sf0.1, deduping 2.09M candidate rows to 1.29M unique
+    // pairs first beats verifying the duplicates (post-filter dedup was
+    // ~0.5 s slower).
     val pairs = buckets
       .groupBy("band", "bandVal")
       .agg(collect_list(col("vec_id")).as("ids"))
@@ -203,13 +203,54 @@ object Similarity {
       .select(col("vec_a"), explode(expr("filter(ids, x -> x > vec_a)")).as("vec_b"))
       .distinct()
 
-    val embN = withNorm(emb, "vec", "nrm")
-    pairs
-      .join(embN.select(col("vec_id").as("vec_a"), col("vec").as("va"), col("nrm").as("na")), Seq("vec_a"))
-      .join(embN.select(col("vec_id").as("vec_b"), col("vec").as("vb"), col("nrm").as("nb")), Seq("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        round(cosineFromParts(dot(col("va"), col("vb")), col("na"), col("nb")), 6).as("cos"))
-      .filter(col("cos") >= threshold)
+    // Verify path gated by ESTIMATED table size (plan stats, no job —
+    // the knnBatch/CentroidBroadcastBytes pattern): when the embedding
+    // table fits the broadcast budget, verify each pair in a tight
+    // map-side closure over a broadcast id → (vec, norm) map — the
+    // join form materialized two 64-double arrays per candidate ROW
+    // (1.29M wide rows at sf0.1), which dominated the verify. The
+    // closure replicates the column expressions exactly: VecDot's
+    // sequential left-fold, sqrt norms, d/na/nb with the zero-norm
+    // guard, and Spark Round's BigDecimal.valueOf(..).setScale(6,
+    // HALF_UP) — so cos is bit-identical (spec-forced equality below
+    // threshold-filter in TextOpsSpec). Past the budget the attach
+    // joins remain — at planet scale the table cannot be broadcast and
+    // the join IS the design.
+    if (emb.queryExecution.optimizedPlan.stats.sizeInBytes <= verifyBroadcastBytes) {
+      val lookup = emb.as[(Long, Seq[Double])].collect().map { case (id, v) =>
+        val x = v.toArray
+        var s = 0.0
+        var i = 0
+        while (i < x.length) { s += x(i) * x(i); i += 1 }
+        (id, (x, math.sqrt(s)))
+      }.toMap
+      val bc = spark.sparkContext.broadcast(lookup)
+      pairs.as[(Long, Long)].mapPartitions { it =>
+        val m = bc.value
+        it.flatMap { case (a, b) =>
+          val (va, na) = m(a)
+          val (vb, nb) = m(b)
+          if (va.length != vb.length) Iterator.empty // VecDot nulls → join path drops; match it
+          else {
+          var d = 0.0
+          var i = 0
+          while (i < va.length) { d += va(i) * vb(i); i += 1 }
+          val c = if (na == 0.0 || nb == 0.0) 0.0 else d / na / nb
+          val cos = java.math.BigDecimal.valueOf(c)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (cos >= threshold) Iterator.single((a, b, cos)) else Iterator.empty
+          }
+        }
+      }.toDF("vec_a", "vec_b", "cos")
+    } else {
+      val embN = withNorm(emb, "vec", "nrm")
+      pairs
+        .join(embN.select(col("vec_id").as("vec_a"), col("vec").as("va"), col("nrm").as("na")), Seq("vec_a"))
+        .join(embN.select(col("vec_id").as("vec_b"), col("vec").as("vb"), col("nrm").as("nb")), Seq("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(cosineFromParts(dot(col("va"), col("vb")), col("na"), col("nb")), 6).as("cos"))
+        .filter(col("cos") >= threshold)
+    }
   }
 
   /** IVF index: seeded with the embeddings of the lowest vec_ids, then
@@ -239,6 +280,14 @@ object Similarity {
     * executor.
     */
   val CentroidBroadcastBytes: Long = 64L << 20
+
+  /** Embedding tables whose ESTIMATED size (plan stats) fits this
+    * budget verify LSH candidate pairs through a broadcast id→(vec,
+    * norm) closure instead of two wide-row attach joins (see
+    * [[embeddingDedupBlocked]]); past it the joins remain — the
+    * at-scale shape where the table cannot be broadcast.
+    */
+  val VerifyBroadcastBytes: Long = 64L << 20
 
   def ivfIndex(embeddings: DataFrame, nCentroids: Int = 0, iterations: Int = 2,
                centroidBroadcastBytes: Long = CentroidBroadcastBytes): IvfIndex = {

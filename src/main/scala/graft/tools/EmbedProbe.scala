@@ -22,6 +22,14 @@ object EmbedProbe {
     val full = graft.operators.Similarity.embeddingDedupBlocked(emb, 0.4)
     time("full (warm 1)") { full.count() }
     time("full (warm 2)") { graft.operators.Similarity.embeddingDedupBlocked(emb, 0.4).count() }
+    for (_ <- 1 to 3) {
+      time("verify via closure") {
+        graft.operators.Similarity.embeddingDedupBlocked(emb, 0.4, verifyBroadcastBytes = Long.MaxValue).count()
+      }
+      time("verify via joins") {
+        graft.operators.Similarity.embeddingDedupBlocked(emb, 0.4, verifyBroadcastBytes = 0L).count()
+      }
+    }
     // stage counts (each its own jobs; just for volume numbers)
     val p = graft.operators.TextOps.MersennePrime
     val bands = 16; val rowsPerBand = 4

@@ -275,6 +275,19 @@ class TextOpsSpec extends SparkTestBase {
       .foreach { case (a, b, c) => assert(exactCos((a, b)) == c) }
   }
 
+  test("blocked dedup verify gate: broadcast-closure and join paths are row-identical (round 8)") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // threshold MaxValue forces the broadcast-closure verify, 0 forces
+    // the attach-join verify — identical rows incl. the rounded cosine
+    val viaClosure = Similarity.embeddingDedupBlocked(emb, 0.4, verifyBroadcastBytes = Long.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaJoin = Similarity.embeddingDedupBlocked(emb, 0.4, verifyBroadcastBytes = 0L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaClosure == viaJoin,
+      s"gate sides diverge: closureOnly=${(viaClosure -- viaJoin).take(3)} joinOnly=${(viaJoin -- viaClosure).take(3)}")
+    assert(viaClosure.nonEmpty)
+  }
+
   test("IVF ANN recall >= 0.8 vs brute force at nProbe=4/16") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val brute = Similarity.bruteForceTopK(emb, 0L to 9L, 5)

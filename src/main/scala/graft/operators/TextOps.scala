@@ -232,9 +232,16 @@ object TextOps {
       }
     }.toDF("band", "sig", "doc_id")
       .groupBy("band", "sig")
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) <= maxBucket)
-      .select(col("ids")).as[Seq[Long]]
+      // bounded_collect, not collect_list: a plain collect holds an
+      // over-cap bucket's FULL member list before the size filter can
+      // drop it — unbounded state on exactly the boilerplate-skew
+      // buckets the cap exists for. The bounded form keeps at most
+      // maxBucket+1 elements per group while counting all rows; groups
+      // within the cap carry their complete list, over-cap groups are
+      // dropped by count — identical semantics, bounded memory.
+      .agg(graft.functions.BoundedCollect.bounded_collect(col("doc_id"), maxBucket).as("bc"))
+      .filter(col("bc.n") <= maxBucket)
+      .select(col("bc.vals").as("ids")).as[Seq[Long]]
       .flatMap { ids =>
         val sorted = ids.sorted.toArray
         for {
@@ -289,9 +296,11 @@ object TextOps {
         struct(lit(b).as("band"), expr(s"(simhash >> ${b * 16}) & 65535").as("bandVal"))): _*)).as("bd"))
       .select(col("doc_id"), col("simhash"), col("bd.band"), col("bd.bandVal"))
       .groupBy("band", "bandVal")
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
-      .filter(size(col("members")) <= maxBucket)
-      .select(col("members")).as[Seq[(Long, Long)]]
+      // bounded_collect: same bounded-state rationale as minhashDedup
+      .agg(graft.functions.BoundedCollect.bounded_collect(
+        struct(col("doc_id"), col("simhash")), maxBucket).as("bc"))
+      .filter(col("bc.n") <= maxBucket)
+      .select(col("bc.vals").as("members")).as[Seq[(Long, Long)]]
       .flatMap { members =>
         val sorted = members.sortBy(_._1).toArray
         for {
